@@ -1,0 +1,143 @@
+"""End-to-end forward pipeline tests: planted-key scans and generate parity.
+
+The reference's "one model running end-to-end" analogue (SURVEY.md §7.4):
+a milksad scan over a small range recovers a planted key with a hit banner.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from vuke_tpu.derive import KeyDeriver
+from vuke_tpu.matcher import Matcher
+from vuke_tpu.output import ConsoleOutput
+from vuke_tpu.pipeline import ForwardDriver, StringDriver
+from vuke_tpu.sources import RangeSource
+from vuke_tpu.transforms import parse_transform
+
+import oracles
+
+
+@pytest.fixture(scope="module")
+def deriver():
+    return KeyDeriver()
+
+
+def _plant_address(key_bytes: bytes, deriver, which: str = "p2pkh_compressed"):
+    d = deriver.derive(key_bytes)
+    return getattr(d, which)
+
+
+def test_milksad_scan_recovers_planted_key(deriver, capsys=None):
+    seed = 3111
+    key = oracles.MT19937(seed).fill_bytes(32)
+    addr = _plant_address(key, deriver)
+
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    matcher = Matcher.from_addresses([addr, "1BitcoinEaterAddressDontSendf59kuE"])
+    spec = parse_transform("milksad")
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=8)
+    stats = driver.run_range(1, 3500)
+
+    assert stats.inputs_processed == 3500
+    assert stats.matches_found == 1
+    text = buf.getvalue()
+    assert "========== HIT ==========" in text
+    assert f"Source: {seed}" in text
+    assert "Transform: milksad" in text
+    assert f"Private Key: {key.hex()}" in text
+    assert addr in text
+
+
+def test_sha256_scan_p2wpkh_target(deriver):
+    # plant the bech32 address of SHA256("4242") — string slot of seed 4242
+    import hashlib
+    key = hashlib.sha256(b"4242").digest()
+    addr = _plant_address(key, deriver, "p2wpkh")
+
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    matcher = Matcher.from_addresses([addr])
+    spec = parse_transform("sha256")
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=8)
+    stats = driver.run_range(4000, 4600)
+
+    assert stats.matches_found == 1
+    assert "p2wpkh" in buf.getvalue()
+    assert addr in buf.getvalue()
+
+
+def test_lcg_scan_uncompressed_target(deriver):
+    # glibc LCG key for seed 777, matched via uncompressed p2pkh
+    key = oracles.lcg_key(777, 1103515245, 12345, 1 << 31, True)
+    addr = _plant_address(key, deriver, "p2pkh_uncompressed")
+
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    matcher = Matcher.from_addresses([addr])
+    spec = parse_transform("lcg")
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=8)
+    stats = driver.run_range(700, 900)
+
+    assert stats.matches_found == 1
+    text = buf.getvalue()
+    assert "Source: 777:glibc" in text  # multi-variant label
+    assert "p2pkh_uncompressed" in text
+
+
+def test_generate_compact_output_matches_reference_format(deriver):
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    spec = parse_transform("milksad")
+    driver = ForwardDriver([spec], None, out, deriver, batch=512, inv_chunk=8)
+    stats = driver.run_range(1, 10)
+
+    assert stats.inputs_processed == 10
+    assert stats.keys_generated == 10
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert len(lines) == 10
+    # line format: source,transform,privkey_hex,p2pkh_compressed
+    for i, line in enumerate(lines):
+        parts = line.split(",")
+        assert len(parts) == 4
+        assert parts[0] == str(i + 1)
+        assert parts[1] == "milksad"
+        expect_key = oracles.MT19937(i + 1).fill_bytes(32)
+        # key is normalized (these are < n, so unchanged)
+        assert parts[2] == expect_key.hex()
+        assert parts[3] == deriver.derive(expect_key).p2pkh_compressed
+
+
+def test_string_driver_wordlist_scan(deriver):
+    import hashlib
+    key = hashlib.sha256(b"correct horse battery staple").digest()
+    addr = "1JwSSubhmg6iPtRjtyqhUYYH7bZg3Lfy1T"  # derive.rs:178-200 golden
+
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    matcher = Matcher.from_addresses([addr])
+    spec = parse_transform("sha256")
+    sd = StringDriver([spec], matcher, out, deriver, inv_chunk=8)
+    stats = sd.process_batch(["hello", "correct horse battery staple", "world"])
+
+    assert stats.inputs_processed == 3
+    assert stats.keys_generated == 3
+    assert stats.matches_found == 1
+    assert addr in buf.getvalue()
+
+
+def test_tail_batch_masking(deriver):
+    # range smaller than one batch and not divisible: no out-of-range keys
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    spec = parse_transform("mt64")
+    driver = ForwardDriver([spec], None, out, deriver, batch=512, inv_chunk=8)
+    stats = driver.run_range(100, 136)
+    assert stats.inputs_processed == 37
+    assert stats.keys_generated == 37
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert len(lines) == 37
+    assert lines[0].startswith("100,")
+    assert lines[-1].startswith("136,")

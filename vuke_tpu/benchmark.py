@@ -1,0 +1,113 @@
+"""Benchmark harness: warmup + timed measurement, reporting M inputs/s.
+
+Mirrors ``vuke bench`` methodology (/root/reference/src/benchmark.rs:11-68:
+2s warmup, ~5s measure) but measures the *fused device pipeline* with
+``block_until_ready`` fencing, and also reports the full derive rate
+(seed -> key -> pubkey -> hash160), the north-star metric.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _time_loop(fn, warmup_s: float, measure_s: float):
+    """Returns (iterations, elapsed) for repeated fn() with async dispatch."""
+    end = time.time() + warmup_s
+    while time.time() < end:
+        jax.block_until_ready(fn())
+    n = 0
+    t0 = time.time()
+    pendings = []
+    while time.time() - t0 < measure_s:
+        pendings.append(fn())
+        n += 1
+        if len(pendings) >= 4:  # bounded pipeline
+            jax.block_until_ready(pendings.pop(0))
+    jax.block_until_ready(pendings)
+    return n, time.time() - t0
+
+
+def bench_transform(transform_s: str, batch: int = 1 << 16, warmup_s: float = 2.0,
+                    measure_s: float = 5.0):
+    """Keygen-only rate for one transform (the reference's `vuke bench`)."""
+    from .transforms import parse_transform
+    spec = parse_transform(transform_s)
+    assert spec.numeric is not None, "bench requires a numeric transform"
+    offs = jnp.asarray(np.arange(batch, dtype=np.uint32))
+    zero = jnp.uint32(0)
+
+    counter = {"i": 0}
+
+    @jax.jit
+    def step(start_lo, offs):
+        hi = jnp.zeros_like(offs)
+        lo = start_lo + offs
+        keys, valid = spec.numeric.fn(hi, lo)
+        # reduce to avoid transferring the whole batch
+        return keys.sum(dtype=jnp.uint32), valid.sum()
+
+    def fn():
+        counter["i"] += 1
+        return step(jnp.uint32(counter["i"] * batch), offs)
+
+    iters, secs = _time_loop(fn, warmup_s, measure_s)
+    rate = iters * batch / secs
+    return {
+        "transform": spec.name,
+        "inputs_per_sec": rate,
+        "keys_per_sec": rate * spec.numeric.n_slots,
+        "batch": batch,
+        "iterations": iters,
+        "elapsed_secs": secs,
+    }
+
+
+def bench_derive(batch: int = 1 << 16, warmup_s: float = 2.0, measure_s: float = 5.0,
+                 inv_chunk: int = 256):
+    """Full fused seed->pubkey->hash160 rate (north-star metric)."""
+    from .ecc.pubkey import derive_hash160s, normalize_scalar
+    from .cores.mt19937 import milksad_key_words
+    offs = jnp.asarray(np.arange(batch, dtype=np.uint32))
+
+    counter = {"i": 0}
+
+    @jax.jit
+    def step(start_lo, offs):
+        seeds = start_lo + offs
+        keys = milksad_key_words(seeds, n_keys=1)[:, 0, :]
+        norm = normalize_scalar(keys)
+        d = derive_hash160s(norm, inv_chunk=inv_chunk)
+        return d["h160c"].sum(dtype=jnp.uint32), d["h160u"].sum(dtype=jnp.uint32)
+
+    def fn():
+        counter["i"] += 1
+        return step(jnp.uint32(counter["i"] * batch), offs)
+
+    iters, secs = _time_loop(fn, warmup_s, measure_s)
+    rate = iters * batch / secs
+    return {
+        "metric": "seed_to_hash160_derivations_per_sec",
+        "derivations_per_sec": rate,
+        "batch": batch,
+        "iterations": iters,
+        "elapsed_secs": secs,
+    }
+
+
+def run_benchmark(transform_s: str, as_json: bool = False, batch: int = 1 << 16,
+                  seconds: float = 5.0):
+    r = bench_transform(transform_s, batch=batch, measure_s=seconds)
+    if as_json:
+        print(json.dumps(r))
+    else:
+        print(f"Benchmark: {r['transform']}")
+        print(f"  {r['inputs_per_sec'] / 1e6:.2f} M inputs/sec "
+              f"({r['keys_per_sec'] / 1e6:.2f} M keys/sec)")
+        print(f"  batch={r['batch']} iters={r['iterations']} "
+              f"elapsed={r['elapsed_secs']:.2f}s")

@@ -25,7 +25,44 @@ _S = [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 + [6, 10, 15
 _IV = np.array([0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476], dtype=np.uint32)
 
 
-def compress(state, m):
+_G = [i if i < 16 else (5 * i + 1) % 16 if i < 32 else (3 * i + 5) % 16 if i < 48
+      else (7 * i) % 16 for i in range(64)]
+
+
+def _rotl_var(x, n):
+    n = n & np.uint32(31)
+    return (x << n) | (x >> ((np.uint32(32) - n) & np.uint32(31)))
+
+
+def compress(state, m, unroll: bool = False):
+    """One MD5 compression (rolled 64-iteration loop by default)."""
+    if unroll:
+        return _compress_unrolled(state, m)
+    import jax
+
+    M = jnp.stack(list(m), axis=0)
+    K = jnp.asarray(_K)
+    S = jnp.asarray(np.array(_S, dtype=np.uint32))
+    G = jnp.asarray(np.array(_G, dtype=np.int32))
+
+    def round_fn(i, carry):
+        A, B, C, D = carry
+        f = jax.lax.switch(i // 16, [
+            lambda B, C, D: (B & C) | (~B & D),
+            lambda B, C, D: (D & B) | (~D & C),
+            lambda B, C, D: B ^ C ^ D,
+            lambda B, C, D: C ^ (B | ~D),
+        ], B, C, D)
+        mg = jax.lax.dynamic_index_in_dim(M, G[i], 0, False)
+        f = f + A + K[i] + mg
+        return (D, B + _rotl_var(f, S[i]), B, C)
+
+    A, B, C, D = jax.lax.fori_loop(0, 64, round_fn, tuple(state))
+    a, b, c, d = state
+    return (a + A, b + B, c + C, d + D)
+
+
+def _compress_unrolled(state, m):
     a, b, c, d = state
     A, B, C, D = a, b, c, d
     for i in range(64):

@@ -68,7 +68,63 @@ def _f(j, x, y, z):
     return x ^ (y | ~z)
 
 
-def compress(state, m):
+def _rotl_var(x, n):
+    """rotl by a traced (uint32 scalar) amount."""
+    n = n & np.uint32(31)
+    return (x << n) | (x >> ((np.uint32(32) - n) & np.uint32(31)))
+
+
+def _f_switch(rnd, x, y, z):
+    import jax
+    return jax.lax.switch(rnd, [
+        lambda x, y, z: x ^ y ^ z,
+        lambda x, y, z: (x & y) | (~x & z),
+        lambda x, y, z: (x | ~y) ^ z,
+        lambda x, y, z: (x & z) | (y & ~z),
+        lambda x, y, z: x ^ (y | ~z),
+    ], x, y, z)
+
+
+def compress(state, m, unroll: bool = False):
+    """One RIPEMD-160 compression (rolled 80-iteration loop by default —
+    compiles ~50x smaller, see sha256.compress)."""
+    if unroll:
+        return _compress_unrolled(state, m)
+    import jax
+
+    M = jnp.stack(list(m), axis=0)  # (16, ...batch)
+    RL = jnp.asarray(np.array(_RL, dtype=np.int32))
+    RR = jnp.asarray(np.array(_RR, dtype=np.int32))
+    SL = jnp.asarray(np.array(_SL, dtype=np.uint32))
+    SR = jnp.asarray(np.array(_SR, dtype=np.uint32))
+    KL = jnp.asarray(_KL)
+    KR = jnp.asarray(_KR)
+
+    h0, h1, h2, h3, h4 = state
+
+    def round_fn(j, carry):
+        al, bl, cl, dl, el, ar, br, cr, dr, er = carry
+        rnd = j // 16
+        ml = jax.lax.dynamic_index_in_dim(M, RL[j], 0, False)
+        mr = jax.lax.dynamic_index_in_dim(M, RR[j], 0, False)
+        t = _rotl_var(al + _f_switch(rnd, bl, cl, dl) + ml + KL[rnd], SL[j]) + el
+        al, el, dl, cl, bl = el, dl, rotl32(cl, 10), bl, t
+        t = _rotl_var(ar + _f_switch(4 - rnd, br, cr, dr) + mr + KR[rnd], SR[j]) + er
+        ar, er, dr, cr, br = er, dr, rotl32(cr, 10), br, t
+        return (al, bl, cl, dl, el, ar, br, cr, dr, er)
+
+    init = (h0, h1, h2, h3, h4, h0, h1, h2, h3, h4)
+    al, bl, cl, dl, el, ar, br, cr, dr, er = jax.lax.fori_loop(0, 80, round_fn, init)
+    t = h1 + cl + dr
+    h1 = h2 + dl + er
+    h2 = h3 + el + ar
+    h3 = h4 + al + br
+    h4 = h0 + bl + cr
+    h0 = t
+    return (h0, h1, h2, h3, h4)
+
+
+def _compress_unrolled(state, m):
     h0, h1, h2, h3, h4 = state
     al, bl, cl, dl, el = h0, h1, h2, h3, h4
     ar, br, cr, dr, er = h0, h1, h2, h3, h4

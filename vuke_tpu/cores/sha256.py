@@ -40,13 +40,52 @@ IV = np.array([
 ], dtype=np.uint32)
 
 
-def compress(state, w16):
+def compress(state, w16, unroll: bool = False):
     """One SHA-256 compression.
 
     state: tuple/list of 8 uint32 arrays (batch shape each)
     w16:   list of 16 uint32 arrays (the message block words)
     Returns the 8 updated state arrays.
+
+    Default is a rolled 64-iteration ``fori_loop`` with a 16-word rolling
+    schedule — ~60x smaller HLO than full unrolling, which matters because
+    compiles route through a remote service in this environment.  Pass
+    ``unroll=True`` for the straight-line variant.
     """
+    if unroll:
+        return _compress_unrolled(state, w16)
+    import jax
+
+    W0 = jnp.stack(list(w16), axis=0)           # (16, ...batch)
+    K = jnp.asarray(_K)
+
+    def round_fn(t, carry):
+        a, b, c, d, e, f, g, h, W = carry
+        i16 = jax.lax.rem(t, 16)
+        wm16 = jax.lax.dynamic_index_in_dim(W, i16, axis=0, keepdims=False)
+        wm15 = jax.lax.dynamic_index_in_dim(W, jax.lax.rem(t + 1, 16), 0, False)
+        wm7 = jax.lax.dynamic_index_in_dim(W, jax.lax.rem(t + 9, 16), 0, False)
+        wm2 = jax.lax.dynamic_index_in_dim(W, jax.lax.rem(t + 14, 16), 0, False)
+        s0 = rotr32(wm15, 7) ^ rotr32(wm15, 18) ^ (wm15 >> np.uint32(3))
+        s1 = rotr32(wm2, 17) ^ rotr32(wm2, 19) ^ (wm2 >> np.uint32(10))
+        w_new = wm16 + s0 + wm7 + s1
+        wt = jnp.where(t < 16, wm16, w_new)
+        W = jax.lax.dynamic_update_index_in_dim(W, wt, i16, axis=0)
+        S1 = rotr32(e, 6) ^ rotr32(e, 11) ^ rotr32(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + K[t] + wt
+        S0 = rotr32(a, 2) ^ rotr32(a, 13) ^ rotr32(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = S0 + maj
+        return (t1 + t2, a, b, c, d + t1, e, f, g, W)
+
+    init = tuple(state) + (W0,)
+    a, b, c, d, e, f, g, h, _ = jax.lax.fori_loop(0, 64, round_fn, init)
+    return (a + state[0], b + state[1], c + state[2], d + state[3],
+            e + state[4], f + state[5], g + state[6], h + state[7])
+
+
+def _compress_unrolled(state, w16):
     a, b, c, d, e, f, g, h = state
     w = list(w16)
     for t in range(64):

@@ -1,0 +1,176 @@
+"""Target matching: host string semantics + device hash160 set.
+
+Host side mirrors the reference Matcher exactly (string HashSet over the 3
+derived addresses, checked compressed-p2pkh, uncompressed-p2pkh, p2wpkh in
+order — /root/reference/src/matcher.rs:72-98).
+
+Device side re-architects it TPU-first: target addresses are decoded to
+hash160s once, packed into sorted uint32 fragment arrays resident on device,
+and each derived key's two hash160s are tested with a vectorized binary
+search (jnp.searchsorted) + short verification probe.  Only device-flagged
+candidates reach the host string matcher, which gives byte-exact reference
+behavior at device speed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Iterable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import encode
+from .derive import DerivedKey
+
+
+class AddressType(Enum):
+    P2PKH_COMPRESSED = "p2pkh_compressed"
+    P2PKH_UNCOMPRESSED = "p2pkh_uncompressed"
+    P2WPKH = "p2wpkh"
+
+    def as_str(self) -> str:
+        return self.value
+
+
+@dataclass
+class MatchInfo:
+    address_type: AddressType
+    address: str
+
+
+class Matcher:
+    """String-set matcher (reference semantics)."""
+
+    def __init__(self, addresses: Iterable[str]):
+        self.targets = set(addresses)
+
+    @classmethod
+    def load(cls, path) -> "Matcher":
+        targets = []
+        with open(path) as f:
+            for line in f:
+                s = line.strip()
+                if s and not s.startswith("#"):
+                    targets.append(s)
+        return cls(targets)
+
+    @classmethod
+    def from_addresses(cls, addresses) -> "Matcher":
+        return cls(addresses)
+
+    def check(self, derived: DerivedKey) -> Optional[MatchInfo]:
+        if derived.p2pkh_compressed in self.targets:
+            return MatchInfo(AddressType.P2PKH_COMPRESSED, derived.p2pkh_compressed)
+        if derived.p2pkh_uncompressed in self.targets:
+            return MatchInfo(AddressType.P2PKH_UNCOMPRESSED, derived.p2pkh_uncompressed)
+        if derived.p2wpkh in self.targets:
+            return MatchInfo(AddressType.P2WPKH, derived.p2wpkh)
+        return None
+
+    def count(self) -> int:
+        return len(self.targets)
+
+    def is_empty(self) -> bool:
+        return not self.targets
+
+
+class DeviceTargetSet:
+    """Sorted hash160-fragment arrays for on-device matching.
+
+    Two pools:
+      - ``any``: hash160s that match a *compressed-pubkey* hash160 (p2pkh or
+        p2wpkh targets — both fire on the compressed h160);
+      - ``p2pkh``: hash160s that match the *uncompressed* h160 (p2pkh only;
+        p2wpkh never matches an uncompressed key).
+
+    Each pool is sorted by (hi, lo) 64-bit fragment (first 8 hash160 bytes);
+    lookups binary-search ``hi`` then probe a static window whose size is the
+    maximal hi-collision run (computed host-side, so correctness is exact).
+    """
+
+    def __init__(self, addresses: Iterable[str]):
+        comp_frags = []  # match against compressed h160
+        uncomp_frags = []  # match against uncompressed h160
+        self.unparsed: list[str] = []
+        n_parsed = 0
+        for addr in addresses:
+            dec = encode.decode_address_h160(addr)
+            if dec is None:
+                self.unparsed.append(addr)
+                continue
+            h160, kind = dec
+            n_parsed += 1
+            frag = (int.from_bytes(h160[0:4], "big"), int.from_bytes(h160[4:8], "big"))
+            comp_frags.append(frag)
+            if kind == "p2pkh":
+                uncomp_frags.append(frag)
+        self.n_parsed = n_parsed
+        self._comp = self._pack(comp_frags)
+        self._uncomp = self._pack(uncomp_frags)
+
+    @staticmethod
+    def _pack(frags):
+        """Sorted pools padded to a power-of-two length so the compiled
+        match program's shapes (hence the compilation cache) are stable
+        across target sets.  Empty pools become an all-0xFF dummy — device
+        false positives are filtered by the host string confirm anyway."""
+        if not frags:
+            hi = np.full(4, 0xFFFFFFFF, dtype=np.uint32)
+            lo = np.full(4, 0xFFFFFFFF, dtype=np.uint32)
+            return {"hi": jnp.asarray(hi), "lo": jnp.asarray(lo), "window": 4,
+                    "n": 4, "real": 0}
+        frags = sorted(set(frags))
+        n = len(frags)
+        padded = 4
+        while padded < n:
+            padded *= 2
+        hi = np.array([f[0] for f in frags] + [frags[-1][0]] * (padded - n),
+                      dtype=np.uint32)
+        lo = np.array([f[1] for f in frags] + [frags[-1][1]] * (padded - n),
+                      dtype=np.uint32)
+        run = best = 1
+        for i in range(1, padded):
+            run = run + 1 if hi[i] == hi[i - 1] else 1
+            best = max(best, run)
+        return {
+            "hi": jnp.asarray(hi),
+            "lo": jnp.asarray(lo),
+            "window": max(4, int(best)),
+            "n": padded,
+            "real": n,
+        }
+
+    @staticmethod
+    def _lookup(pool_hi, pool_lo, window: int, frag_hi, frag_lo):
+        """Pure function of device arrays (safe to close over only the static
+        window/shape, so jitted callers can take the pools as arguments)."""
+        n = pool_hi.shape[0]
+        pos = jnp.searchsorted(pool_hi, frag_hi, side="left")
+        hit = jnp.zeros(frag_hi.shape, dtype=bool)
+        for w in range(window):
+            idx = jnp.minimum(pos + w, n - 1)
+            hit = hit | ((pool_hi[idx] == frag_hi) & (pool_lo[idx] == frag_lo))
+        return hit
+
+    def device_args(self):
+        """Pool arrays to pass into a jitted match program."""
+        return (self._comp["hi"], self._comp["lo"],
+                self._uncomp["hi"], self._uncomp["lo"])
+
+    @property
+    def windows(self):
+        return (self._comp["window"], self._uncomp["window"])
+
+    def match_compressed(self, frag_hi, frag_lo):
+        return self._lookup(self._comp["hi"], self._comp["lo"],
+                            self._comp["window"], frag_hi, frag_lo)
+
+    def match_uncompressed(self, frag_hi, frag_lo):
+        return self._lookup(self._uncomp["hi"], self._uncomp["lo"],
+                            self._uncomp["window"], frag_hi, frag_lo)
+
+    @property
+    def empty(self) -> bool:
+        return self._comp["real"] == 0 and self._uncomp["real"] == 0

@@ -1,0 +1,350 @@
+"""The fused forward-search engine: seed lattice in, hits out.
+
+Architecture (SURVEY.md §7): per-transform *keygen* programs (cheap to
+compile) feed one shared *derive+match* program — ``keys -> normalize ->
+fixed-base scalar-mul -> hash160 -> sorted-set match -> compacted hit
+indices`` — compiled once per (batch, target-set) and reused by every
+transform and every slot.  This replaces the reference's Rayon chunk loop +
+per-candidate address formatting (/root/reference/src/source/range.rs:36-70,
+derive.rs:121-147): strings exist only on the host, and only for hits.
+
+Dispatch is pipelined: superbatch ``i+1`` is enqueued before the results of
+``i`` are read back (JAX async dispatch provides the double-buffering the
+reference's GPU path hand-rolls, /root/reference/src/gpu/mt19937.rs:316-386).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .cores.common import key_words_to_bytes
+from .derive import KeyDeriver
+from .ecc.pubkey import derive_hash160s, hash160_fragment, normalize_scalar
+from .matcher import DeviceTargetSet, Matcher
+from .transforms.registry import TransformSpec
+
+DEFAULT_BATCH = 1 << 16
+MAX_HITS_PER_BATCH = 256
+
+
+@dataclass
+class ProcessStats:
+    inputs_processed: int = 0
+    keys_generated: int = 0
+    matches_found: int = 0
+
+    def merge(self, other: "ProcessStats"):
+        self.inputs_processed += other.inputs_processed
+        self.keys_generated += other.keys_generated
+        self.matches_found += other.matches_found
+
+
+def _seed_lattice(start_hi, start_lo, offsets):
+    lo = start_lo + offsets
+    carry = (lo < offsets).astype(jnp.uint32)
+    hi = start_hi + carry
+    return hi, lo
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: int):
+    """Module-level cache of the compiled derive+match program.
+
+    Target pools enter as *arguments* (padded to power-of-two shapes) so
+    different target sets share one compilation — both in-process (this
+    cache) and in the backend compile cache (stable HLO)."""
+
+    def fn(keys, valid, chi, clo, uhi, ulo):
+        norm = normalize_scalar(keys)
+        d = derive_hash160s(norm, inv_chunk=inv_chunk)
+        out = {"n_valid": valid.sum()}
+        if match:
+            fc = hash160_fragment(d["h160c"])
+            fu = hash160_fragment(d["h160u"])
+            m = (DeviceTargetSet._lookup(chi, clo, win_c, *fc)
+                 | DeviceTargetSet._lookup(uhi, ulo, win_u, *fu))
+            m = m & valid
+            out["count"] = m.sum()
+            out["hit_idx"] = jnp.nonzero(m, size=MAX_HITS_PER_BATCH,
+                                         fill_value=2**31 - 1)[0]
+        if collect:
+            out["keys"] = norm
+            out["h160c"] = d["h160c"]
+        return out
+
+    return jax.jit(fn)
+
+
+class DeriveMatcher:
+    """The shared hot program: (N, 8) keys -> hash160s -> match results.
+
+    One compile per (mode, windows); every transform/slot/target-set
+    reuses it.
+    """
+
+    def __init__(self, targets: Optional[DeviceTargetSet], collect_keys: bool,
+                 inv_chunk: int = 32):
+        self.targets = targets
+        self.collect_keys = collect_keys
+        self.inv_chunk = inv_chunk
+        match = targets is not None and not targets.empty
+        win_c, win_u = targets.windows if match else (4, 4)
+        self._fn = _dm_program(match, collect_keys, inv_chunk, win_c, win_u)
+        if match:
+            self._pool_args = targets.device_args()
+        else:
+            z = jnp.zeros(4, dtype=jnp.uint32)
+            self._pool_args = (z, z, z, z)
+
+    def run(self, keys, valid):
+        return self._fn(keys, valid, *self._pool_args)
+
+
+_KEYGEN_CACHE: dict = {}
+
+
+def _keygen_program(nt):
+    """Per-NumericTransform jitted keygen, cached by transform object id so
+    repeated driver construction reuses the compiled program."""
+    fn = _KEYGEN_CACHE.get(id(nt))
+    if fn is None:
+        def keygen(start_hi, start_lo, limit, offs):
+            hi, lo = _seed_lattice(start_hi, start_lo, offs)
+            keys, valid = nt.fn(hi, lo)              # (N, S, 8), (N, S)
+            valid = valid & (offs < limit)[:, None]
+            return keys, valid
+
+        fn = jax.jit(keygen)
+        _KEYGEN_CACHE[id(nt)] = fn
+    return fn
+
+
+class ScanProgram:
+    """Keygen program for one numeric transform + shared derive/match."""
+
+    def __init__(self, spec: TransformSpec, dm: DeriveMatcher,
+                 batch: int = DEFAULT_BATCH, mesh=None):
+        assert spec.numeric is not None
+        self.spec = spec
+        self.batch = batch
+        self.dm = dm
+        nt = spec.numeric
+
+        offsets = np.arange(batch, dtype=np.uint32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._offsets = jax.device_put(offsets, NamedSharding(mesh, P("seeds")))
+        else:
+            self._offsets = jnp.asarray(offsets)
+
+        self._keygen = _keygen_program(nt)
+
+    def run(self, start: int, limit: Optional[int] = None):
+        """Launch one superbatch (async).  Returns per-slot result dicts."""
+        if limit is None:
+            limit = self.batch
+        keys, valid = self._keygen(
+            jnp.uint32(start >> 32), jnp.uint32(start & 0xFFFFFFFF),
+            jnp.uint32(limit), self._offsets)
+        results = []
+        for s in range(self.spec.numeric.n_slots):
+            r = dict(self.dm.run(keys[:, s, :], valid[:, s]))
+            if self.dm.collect_keys:
+                r["valid"] = valid[:, s]
+            results.append(r)
+        return results
+
+
+class ForwardDriver:
+    """Runs numeric transforms over a contiguous seed range with pipelined
+    superbatches, confirming device-flagged hits on the host through the
+    byte-exact string matcher."""
+
+    def __init__(self, specs: Sequence[TransformSpec], matcher: Optional[Matcher],
+                 output, deriver: Optional[KeyDeriver] = None,
+                 batch: int = DEFAULT_BATCH, mesh=None, inv_chunk: int = 32,
+                 progress=None):
+        self.specs = [s for s in specs if s.numeric is not None]
+        self.matcher = matcher
+        self.output = output
+        self.deriver = deriver or KeyDeriver()
+        self.batch = batch
+        self.progress = progress
+        self.targets = DeviceTargetSet(matcher.targets) if matcher is not None else None
+        generate_mode = matcher is None
+        self.dm = DeriveMatcher(self.targets, collect_keys=generate_mode,
+                                inv_chunk=inv_chunk)
+        self.programs = [ScanProgram(spec, self.dm, batch=batch, mesh=mesh)
+                         for spec in self.specs]
+        self._single_jits = {}
+
+    # -- hit confirmation ---------------------------------------------------
+
+    def _confirm_hits(self, spec: TransformSpec, start: int, slot_i: int,
+                      result) -> int:
+        count = int(result["count"])
+        if count == 0:
+            return 0
+        idx = np.asarray(result["hit_idx"])[:count]
+        matches = 0
+        for i in idx:
+            seed = start + int(i)
+            derived = self._derive_seed_slot(spec, seed, slot_i)
+            if derived is None:
+                continue
+            info = self.matcher.check(derived)
+            if info is not None:
+                matches += 1
+                source = f"{seed}{spec.numeric.slots[slot_i]}"
+                self.output.hit(source, spec.name, derived, info)
+        return matches
+
+    def _derive_seed_slot(self, spec: TransformSpec, seed: int, slot_i: int):
+        """Recompute one key from (seed, slot) on a singleton batch — a
+        single source of truth for transform semantics."""
+        key = ("single", id(spec.numeric))
+        fn = _KEYGEN_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(spec.numeric.fn)
+            _KEYGEN_CACHE[key] = fn
+        hi = jnp.asarray(np.array([seed >> 32], dtype=np.uint32))
+        lo = jnp.asarray(np.array([seed & 0xFFFFFFFF], dtype=np.uint32))
+        keys, valid = fn(hi, lo)
+        if not bool(np.asarray(valid)[0, slot_i]):
+            return None
+        return self.deriver.derive(key_words_to_bytes(np.asarray(keys)[0, slot_i]))
+
+    # -- main loop ----------------------------------------------------------
+
+    def run_range(self, start: int, end: int) -> ProcessStats:
+        """Process the inclusive u64 seed range [start, end]."""
+        stats = ProcessStats()
+        pending = []  # (spec, batch_start, n, per-slot results)
+        pos = start
+        while pos <= end or pending:
+            if pos <= end:
+                n = min(self.batch, end - pos + 1)
+                for spec, prog in zip(self.specs, self.programs):
+                    pending.append((spec, pos, n, prog.run(pos, n)))
+                pos += self.batch
+            while len(pending) > len(self.programs) or (pos > end and pending):
+                spec, bstart, n, results = pending.pop(0)
+                stats.merge(self._consume(spec, bstart, n, results))
+                if self.progress is not None:
+                    self.progress.advance(n)
+        self.output.flush()
+        return stats
+
+    def _consume(self, spec: TransformSpec, bstart: int, n: int, results) -> ProcessStats:
+        s = ProcessStats(inputs_processed=n)
+        for slot_i, result in enumerate(results):
+            s.keys_generated += int(result["n_valid"])
+            if self.matcher is not None:
+                s.matches_found += self._confirm_hits(spec, bstart, slot_i, result)
+        if self.matcher is None and self.output is not None:
+            self._emit_generate(spec, bstart, n, results)
+        return s
+
+    def _emit_generate(self, spec: TransformSpec, bstart: int, n: int, results):
+        from . import encode
+        slot_rows = []
+        for result in results:
+            keys = np.asarray(result["keys"])[:n]
+            h160c = np.asarray(result["h160c"])[:n]
+            valid = np.asarray(result["valid"])[:n]
+            slot_rows.append((keys, h160c, valid))
+        # reference output order: per input, all slots (range.rs:43-63)
+        for i in range(n):
+            seed = bstart + i
+            for slot_i, (keys, h160c, valid) in enumerate(slot_rows):
+                if not valid[i]:
+                    continue
+                key = key_words_to_bytes(keys[i])
+                h160 = h160c[i].astype("<u4").tobytes()
+                addr = encode.p2pkh_address(h160, self.deriver.network)
+                self.output.key_fast(f"{seed}{spec.numeric.slots[slot_i]}",
+                                     spec.name, key, addr, deriver=self.deriver)
+
+
+@functools.lru_cache(maxsize=None)
+def _string_match_program(inv_chunk: int, win_c: int, win_u: int):
+    def fn(kw, chi, clo, uhi, ulo):
+        norm = normalize_scalar(kw)
+        d = derive_hash160s(norm, inv_chunk=inv_chunk)
+        fc = hash160_fragment(d["h160c"])
+        fu = hash160_fragment(d["h160u"])
+        return (DeviceTargetSet._lookup(chi, clo, win_c, *fc)
+                | DeviceTargetSet._lookup(uhi, ulo, win_u, *fu))
+
+    return jax.jit(fn)
+
+
+class StringDriver:
+    """Forward search over string inputs (wordlist/stdin/files)."""
+
+    PAD = 1024  # fixed device width for the shared string derive program
+
+    def __init__(self, specs: Sequence[TransformSpec], matcher: Optional[Matcher],
+                 output, deriver: Optional[KeyDeriver] = None, inv_chunk: int = 32):
+        self.specs = list(specs)
+        self.matcher = matcher
+        self.output = output
+        self.deriver = deriver or KeyDeriver()
+        self.inv_chunk = inv_chunk
+        self.targets = DeviceTargetSet(matcher.targets) if matcher else None
+        self._dm = None
+
+    def _device_match(self, keys_flat: np.ndarray) -> np.ndarray:
+        """(M, 8) keys -> candidate mask, via fixed-width padded chunks."""
+        if self._dm is None:
+            win_c, win_u = self.targets.windows
+            self._dm = _string_match_program(self.inv_chunk, win_c, win_u)
+        pool_args = self.targets.device_args()
+        out = np.zeros(len(keys_flat), dtype=bool)
+        for ofs in range(0, len(keys_flat), self.PAD):
+            chunk = keys_flat[ofs:ofs + self.PAD]
+            m = len(chunk)
+            if m < self.PAD:
+                chunk = np.vstack([chunk, np.tile(chunk[-1:], (self.PAD - m, 1))])
+            out[ofs:ofs + m] = np.asarray(self._dm(jnp.asarray(chunk), *pool_args))[:m]
+        return out
+
+    def process_batch(self, strings: Sequence[str]) -> ProcessStats:
+        stats = ProcessStats(inputs_processed=len(strings))
+        if not strings:
+            return stats
+        for spec in self.specs:
+            st = spec.string
+            if st is None:
+                continue
+            keys = st.fn(list(strings))                # (N, S, 8)
+            valid = (st.valid_fn(list(strings)) if st.valid_fn is not None
+                     else np.ones(keys.shape[:2], dtype=bool))
+            stats.keys_generated += int(valid.sum())
+            n, S = keys.shape[:2]
+            if self.matcher is not None and self.targets is not None and not self.targets.empty:
+                mask = self._device_match(keys.reshape(-1, 8)) & valid.reshape(-1)
+                for flat_i in np.nonzero(mask)[0]:
+                    i, s_i = divmod(int(flat_i), S)
+                    derived = self.deriver.derive(key_words_to_bytes(keys[i, s_i]))
+                    info = self.matcher.check(derived)
+                    if info is not None:
+                        stats.matches_found += 1
+                        self.output.hit(f"{strings[i]}{st.slots[s_i]}", spec.name,
+                                        derived, info)
+            elif self.matcher is None:
+                for i in range(n):
+                    for s_i in range(S):
+                        if not valid[i, s_i]:
+                            continue
+                        derived = self.deriver.derive(key_words_to_bytes(keys[i, s_i]))
+                        self.output.key(f"{strings[i]}{st.slots[s_i]}", spec.name, derived)
+        return stats
