@@ -1,0 +1,201 @@
+"""Reverse-analyzer tests: round-trip (transform -> analyze) recovery.
+
+Mirrors the reference's analyzer self-consistency tier (SURVEY.md §4.3):
+keys produced by a transform are recovered by its analyzer, on bounded
+search spaces so tests stay fast (full 2^32 sweeps are exercised by the
+benchmarks, like the reference's #[ignore]d tests).
+"""
+
+import numpy as np
+import pytest
+
+from vuke_tpu.analyze import (
+    AnalysisConfig, AnalysisStatus, DirectAnalyzer, HeuristicAnalyzer,
+    KeyMetadata, LcgAnalyzer, MilksadAnalyzer, Mt64Analyzer,
+    Sha256ChainAnalyzer, XorshiftAnalyzer, apply_mask, format_results,
+    format_results_json, parse_cascade, parse_private_key,
+)
+
+import oracles
+
+BATCH = 1 << 14
+CFG = dict(batch=BATCH, max_seeds=1 << 15)
+
+
+def _cfg(**kw):
+    base = dict(CFG)
+    base.update(kw)
+    return AnalysisConfig(**base)
+
+
+def test_parse_private_key_formats():
+    k = parse_private_key("0xabc")
+    assert k == (0xABC).to_bytes(32, "big")
+    k = parse_private_key("255")
+    assert k == (255).to_bytes(32, "big")
+    k = parse_private_key("5KJvsngHeMpm884wtkJNzQGaCErckhHJBGFsvd3VyK5qMZXj3hS")
+    assert k.hex() == "c4bbcb1fbec99d65bf59d85c8cb62ee2db963f0fe106f483d9afa73bd4e39a8a"
+    with pytest.raises(Exception):
+        parse_private_key("zzz")
+
+
+def test_parse_cascade():
+    t = parse_cascade("10:0x202,5:0x15")
+    assert t == [(5, 0x15), (10, 0x202)]
+    with pytest.raises(Exception):
+        parse_cascade("5:0x15")  # needs >= 2
+    with pytest.raises(Exception):
+        parse_cascade("5:1,5:1")  # duplicate
+
+
+def test_milksad_exact_roundtrip():
+    seed = 9000
+    key = oracles.MT19937(seed).fill_bytes(32)
+    r = MilksadAnalyzer().analyze(key, _cfg())
+    assert r.status == AnalysisStatus.CONFIRMED
+    assert f"seed = {seed}" in r.details
+
+
+def test_milksad_masked_roundtrip():
+    seed = 12000
+    key = oracles.MT19937(seed).fill_bytes(32)
+    bits = 40
+    r = MilksadAnalyzer().analyze(key, _cfg(mask_bits=bits))
+    assert r.status == AnalysisStatus.CONFIRMED
+    assert f"seed = {seed}" in r.details
+    assert f"mask_bits={bits}" in r.details
+
+
+def test_milksad_cascade_roundtrip():
+    seed = 5432
+    rng = oracles.MT19937(seed)
+    k1 = rng.fill_bytes(32)
+    k2 = rng.fill_bytes(32)
+    targets = [(20, apply_mask(k1, 20)), (28, apply_mask(k2, 28))]
+    cfg = _cfg()
+    cfg.cascade_targets = targets
+    r = MilksadAnalyzer().analyze(b"\x00" * 32, cfg)
+    assert r.status == AnalysisStatus.CONFIRMED
+    assert f"seed = {seed}" in r.details
+
+
+def test_milksad_not_found():
+    key = bytes(range(32))
+    r = MilksadAnalyzer().analyze(key, _cfg(max_seeds=BATCH))
+    assert r.status == AnalysisStatus.NOT_FOUND
+    assert "checked" in r.details
+
+
+def test_lcg_exact_roundtrip():
+    seed = 777
+    key = oracles.lcg_key(seed, 16807, 0, (1 << 31) - 1, True)
+    r = LcgAnalyzer(variant=None).analyze(key, _cfg())
+    assert r.status == AnalysisStatus.CONFIRMED
+    assert f"seed={seed}" in r.details
+    assert "variant=minstd" in r.details
+
+
+def test_lcg_masked_roundtrip():
+    seed = 999
+    key = oracles.lcg_key(seed, 214013, 2531011, 1 << 32, True)
+    from vuke_tpu.cores.lcg import MSVC
+    r = LcgAnalyzer(variant=MSVC).analyze(key, _cfg(mask_bits=48))
+    assert r.status == AnalysisStatus.CONFIRMED
+    assert "variant=msvc" in r.details
+    assert "mask_bits=48" in r.details
+
+
+def test_mt64_requires_cascade():
+    r = Mt64Analyzer().analyze(b"\x01" * 32, _cfg())
+    assert r.status == AnalysisStatus.UNKNOWN
+    assert "--cascade" in r.details
+
+
+def test_mt64_cascade_roundtrip():
+    seed = 3333
+    rng = oracles.MT19937_64(seed)
+    k1 = rng.fill_bytes(32)
+    k2 = rng.fill_bytes(32)
+    cfg = _cfg()
+    cfg.cascade_targets = [(24, apply_mask(k1, 24)), (30, apply_mask(k2, 30))]
+    r = Mt64Analyzer().analyze(b"\x00" * 32, cfg)
+    assert r.status == AnalysisStatus.CONFIRMED
+    assert f"seed = {seed}" in r.details
+
+
+def test_xorshift_cascade_roundtrip():
+    seed = 2024
+    k1 = oracles.xorshift64_key(seed)
+    # keystream continuation for second key
+    s = seed
+    out = b""
+    M64 = 0xFFFFFFFFFFFFFFFF
+    for _ in range(8):
+        s ^= (s << 13) & M64
+        s ^= s >> 7
+        s ^= (s << 17) & M64
+        out += s.to_bytes(8, "big")
+    k2 = out[32:64]
+    cfg = _cfg()
+    cfg.cascade_targets = [(22, apply_mask(k1, 22)), (26, apply_mask(k2, 26))]
+    r = XorshiftAnalyzer("xorshift64").analyze(b"\x00" * 32, cfg)
+    assert r.status == AnalysisStatus.CONFIRMED
+    assert f"seed={seed}" in r.details
+    assert "variant=xorshift64" in r.details
+
+
+def test_sha256_chain_exact_roundtrip():
+    import hashlib
+    seed = 4321
+    k0 = hashlib.sha256(int(seed).to_bytes(4, "big")).digest()
+    k3 = k0
+    for _ in range(3):
+        k3 = hashlib.sha256(k3).digest()
+    r = Sha256ChainAnalyzer("iterated").analyze(k3, _cfg())
+    assert r.status == AnalysisStatus.CONFIRMED
+    assert f"seed={seed}" in r.details
+    assert "chain_index=3" in r.details
+
+
+def test_direct_analyzer():
+    key = (42).to_bytes(32, "big")
+    r = DirectAnalyzer().analyze(key, AnalysisConfig())
+    assert r.status == AnalysisStatus.POSSIBLE
+    assert "bit_length" in r.details
+
+    key = b"test" + b"\x00" * 28
+    r = DirectAnalyzer().analyze(key, AnalysisConfig())
+    assert 'ASCII string: "test"' in r.details
+
+    key = bytes.fromhex("c4bbcb1fbec99d65bf59d85c8cb62ee2db963f0fe106f483d9afa73bd4e39a8a")
+    r = DirectAnalyzer().analyze(key, AnalysisConfig())
+    assert r.status == AnalysisStatus.NOT_FOUND
+
+
+def test_heuristic_analyzer():
+    r = HeuristicAnalyzer().analyze(b"\x00" * 32, AnalysisConfig())
+    assert r.status == AnalysisStatus.POSSIBLE
+
+    key = bytes([1, 2, 3, 4] * 8)
+    r = HeuristicAnalyzer().analyze(key, AnalysisConfig())
+    assert r.status == AnalysisStatus.POSSIBLE
+    assert "repeating" in r.details
+
+    key = bytes.fromhex("c4bbcb1fbec99d65bf59d85c8cb62ee2db963f0fe106f483d9afa73bd4e39a8a")
+    r = HeuristicAnalyzer().analyze(key, AnalysisConfig())
+    assert r.status == AnalysisStatus.UNKNOWN
+
+
+def test_format_results():
+    from vuke_tpu.analyze.analyzers import AnalysisResult
+    md = KeyMetadata(hex="abc123", bit_length=256, hamming_weight=128, leading_zeros=0)
+    results = [AnalysisResult("test", AnalysisStatus.CONFIRMED, "seed = 42")]
+    text = format_results(md, results)
+    assert "Private Key: abc123" in text
+    assert "CONFIRMED" in text
+    assert "seed = 42" in text
+    js = format_results_json(md, results)
+    import json
+    parsed = json.loads(js)
+    assert parsed["private_key"] == "abc123"
+    assert parsed["results"][0]["status"] == "confirmed"

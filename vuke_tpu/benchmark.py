@@ -16,20 +16,31 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_loop(fn, warmup_s: float, measure_s: float):
-    """Returns (iterations, elapsed) for repeated fn() with async dispatch."""
+def _sync(result):
+    """Force completion via an actual device->host transfer.
+
+    On the axon relay backend ``block_until_ready`` does not reliably wait
+    for queued work; fetching a scalar does."""
+    leaves = jax.tree_util.tree_leaves(result)
+    return np.asarray(leaves[0]).ravel()[0] if leaves else None
+
+
+def _time_loop(fn, warmup_s: float, measure_s: float, depth: int = 2):
+    """Returns (iterations, elapsed) for repeated fn() with a bounded
+    async-dispatch pipeline, fenced by real host transfers."""
     end = time.time() + warmup_s
     while time.time() < end:
-        jax.block_until_ready(fn())
+        _sync(fn())
     n = 0
     t0 = time.time()
     pendings = []
     while time.time() - t0 < measure_s:
         pendings.append(fn())
         n += 1
-        if len(pendings) >= 4:  # bounded pipeline
-            jax.block_until_ready(pendings.pop(0))
-    jax.block_until_ready(pendings)
+        if len(pendings) >= depth:
+            _sync(pendings.pop(0))
+    for p in pendings:
+        _sync(p)
     return n, time.time() - t0
 
 
@@ -54,7 +65,7 @@ def bench_transform(transform_s: str, batch: int = 1 << 16, warmup_s: float = 2.
 
     def fn():
         counter["i"] += 1
-        return step(jnp.uint32(counter["i"] * batch), offs)
+        return step(jnp.uint32((counter["i"] * batch) & 0xFFFFFFFF), offs)
 
     iters, secs = _time_loop(fn, warmup_s, measure_s)
     rate = iters * batch / secs
@@ -87,7 +98,7 @@ def bench_derive(batch: int = 1 << 16, warmup_s: float = 2.0, measure_s: float =
 
     def fn():
         counter["i"] += 1
-        return step(jnp.uint32(counter["i"] * batch), offs)
+        return step(jnp.uint32((counter["i"] * batch) & 0xFFFFFFFF), offs)
 
     iters, secs = _time_loop(fn, warmup_s, measure_s)
     rate = iters * batch / secs

@@ -191,7 +191,16 @@ def _parse_specs(params):
     specs = []
     for t in params["transforms"]:
         try:
-            specs.append(parse_transform(t))
+            if t.lower() == "bitimage":
+                from .transforms.wallets import bitimage_spec
+                specs.append(bitimage_spec(
+                    path=params.get("bitimage_path", "m/84'/0'/0'/0/0"),
+                    passphrase=params.get("bitimage_passphrase", ""),
+                    passphrase_wordlist=params.get("bitimage_passphrase_wordlist"),
+                    derive_count=params.get("bitimage_derive_count", 1),
+                ))
+            else:
+                specs.append(parse_transform(t))
         except (ValueError, NotImplementedError) as e:
             raise click.UsageError(str(e))
     return specs
@@ -274,10 +283,11 @@ def single(passphrase, transform_s, network):
         valid = (spec.string.valid_fn([passphrase]) if spec.string.valid_fn
                  else None)
         from .cores.common import key_words_to_bytes
+        label = getattr(spec.string, "label_fn", None) or (lambda s: s)
         for s_i, slot in enumerate(spec.string.slots):
             if valid is not None and not valid[0, s_i]:
                 continue
-            keys.append((f"{passphrase}{slot}", key_words_to_bytes(kw[0, s_i])))
+            keys.append((f"{label(passphrase)}{slot}", key_words_to_bytes(kw[0, s_i])))
 
     if not keys:
         click.echo("No key generated from passphrase.", err=True)

@@ -47,7 +47,7 @@ def mt19937_outputs(seeds, n_out: int = 8):
         return cur, cur
 
     idx = jnp.arange(1, n_state, dtype=jnp.uint32)
-    _, rest = jax.lax.scan(init_step, seeds, idx)
+    _, rest = jax.lax.scan(init_step, seeds, idx, unroll=64)
     # state: list of (N,) arrays, index 0..n_state-1
     state = [seeds] + [rest[i] for i in range(n_state - 1)]
 
@@ -105,7 +105,7 @@ def mt19937_64_outputs(seeds_hi, seeds_lo, n_out: int = 4):
         return x, x
 
     idx = jnp.arange(1, n_state, dtype=jnp.uint32)
-    _, rest = jax.lax.scan(init_step, (seeds_hi, seeds_lo), idx)
+    _, rest = jax.lax.scan(init_step, (seeds_hi, seeds_lo), idx, unroll=32)
     state = [(seeds_hi, seeds_lo)] + [(rest[0][i], rest[1][i]) for i in range(n_state - 1)]
 
     outs_hi, outs_lo = [], []

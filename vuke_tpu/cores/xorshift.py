@@ -38,34 +38,44 @@ def _nonzero_seed(hi, lo):
     return hi, jnp.where(z, np.uint32(1), lo)
 
 
-def xorshift64_key_words(seeds_hi, seeds_lo):
-    """(N,) u64 seeds -> (N, 8) BE key words (4 outputs x 8 BE bytes)."""
+def xorshift64_keystream_words(seeds_hi, seeds_lo, n_keys: int = 1):
+    """(N,) u64 seeds -> (N, n_keys, 8) BE key words (sequential keystream)."""
     hi, lo = _nonzero_seed(jnp.asarray(seeds_hi, jnp.uint32), jnp.asarray(seeds_lo, jnp.uint32))
     s = (hi, lo)
     words = []
-    for _ in range(4):
+    for _ in range(4 * n_keys):
         s = u64_xor(s, u64_shl(s, 13))
         s = u64_xor(s, u64_shr(s, 7))
         s = u64_xor(s, u64_shl(s, 17))
         words.append(s[0])  # BE serialization: high word first
         words.append(s[1])
-    return jnp.stack(words, axis=-1)
+    out = jnp.stack(words, axis=-1)
+    return out.reshape(out.shape[:-1] + (n_keys, 8))
 
 
-def xorshift128_key_words(seeds_hi, seeds_lo):
-    """(N,) u64 seeds -> (N, 8) BE key words (8 u32 outputs, BE bytes)."""
+def xorshift64_key_words(seeds_hi, seeds_lo):
+    return xorshift64_keystream_words(seeds_hi, seeds_lo, 1)[..., 0, :]
+
+
+def xorshift128_keystream_words(seeds_hi, seeds_lo, n_keys: int = 1):
+    """(N,) u64 seeds -> (N, n_keys, 8) BE key words (sequential keystream)."""
     hi, lo = _nonzero_seed(jnp.asarray(seeds_hi, jnp.uint32), jnp.asarray(seeds_lo, jnp.uint32))
     x = lo
     y = hi
     z = lo ^ np.uint32(0x12345678)
     w = hi ^ np.uint32(0x87654321)
     outs = []
-    for _ in range(8):
+    for _ in range(8 * n_keys):
         t = x ^ (x << np.uint32(11))
         x, y, z = y, z, w
         w = (w ^ (w >> np.uint32(19))) ^ (t ^ (t >> np.uint32(8)))
         outs.append(w)
-    return jnp.stack(outs, axis=-1)
+    out = jnp.stack(outs, axis=-1)
+    return out.reshape(out.shape[:-1] + (n_keys, 8))
+
+
+def xorshift128_key_words(seeds_hi, seeds_lo):
+    return xorshift128_keystream_words(seeds_hi, seeds_lo, 1)[..., 0, :]
 
 
 def _xoroshiro_state(seeds_hi, seeds_lo):
@@ -82,8 +92,8 @@ def _xoroshiro_advance(s0, s1):
     return new_s0, new_s1
 
 
-def xorshift128plus_key_words(seeds_hi, seeds_lo):
-    """(N,) u64 seeds -> (N, 8) BE key words (4 u64 outputs, BE bytes).
+def xorshift128plus_keystream_words(seeds_hi, seeds_lo, n_keys: int = 1):
+    """(N,) u64 seeds -> (N, n_keys, 8) BE key words.
 
     Note: despite the name, vuke's "xorshift128+" uses the xoroshiro128 state
     transition with additive scrambling (/root/reference/src/xorshift.rs:
@@ -91,24 +101,34 @@ def xorshift128plus_key_words(seeds_hi, seeds_lo):
     """
     s0, s1 = _xoroshiro_state(seeds_hi, seeds_lo)
     words = []
-    for _ in range(4):
+    for _ in range(4 * n_keys):
         r = u64_add(s0, s1)
         words.append(r[0])
         words.append(r[1])
         s0, s1 = _xoroshiro_advance(s0, s1)
-    return jnp.stack(words, axis=-1)
+    out = jnp.stack(words, axis=-1)
+    return out.reshape(out.shape[:-1] + (n_keys, 8))
 
 
-def xoroshiro128starstar_key_words(seeds_hi, seeds_lo):
-    """(N,) u64 seeds -> (N, 8) BE key words (4 u64 outputs, BE bytes)."""
+def xorshift128plus_key_words(seeds_hi, seeds_lo):
+    return xorshift128plus_keystream_words(seeds_hi, seeds_lo, 1)[..., 0, :]
+
+
+def xoroshiro128starstar_keystream_words(seeds_hi, seeds_lo, n_keys: int = 1):
+    """(N,) u64 seeds -> (N, n_keys, 8) BE key words."""
     s0, s1 = _xoroshiro_state(seeds_hi, seeds_lo)
     words = []
-    for _ in range(4):
+    for _ in range(4 * n_keys):
         r = u64_mul_const_lo(u64_rotl(u64_mul_const_lo(s0, 5), 7), 9)
         words.append(r[0])
         words.append(r[1])
         s0, s1 = _xoroshiro_advance(s0, s1)
-    return jnp.stack(words, axis=-1)
+    out = jnp.stack(words, axis=-1)
+    return out.reshape(out.shape[:-1] + (n_keys, 8))
+
+
+def xoroshiro128starstar_key_words(seeds_hi, seeds_lo):
+    return xoroshiro128starstar_keystream_words(seeds_hi, seeds_lo, 1)[..., 0, :]
 
 
 VARIANT_NAMES = ("xorshift64", "xorshift128", "xorshift128+", "xoroshiro128**")
@@ -118,4 +138,11 @@ KEY_FNS = {
     "xorshift128": xorshift128_key_words,
     "xorshift128+": xorshift128plus_key_words,
     "xoroshiro128**": xoroshiro128starstar_key_words,
+}
+
+KEYSTREAM_FNS = {
+    "xorshift64": xorshift64_keystream_words,
+    "xorshift128": xorshift128_keystream_words,
+    "xorshift128+": xorshift128plus_keystream_words,
+    "xoroshiro128**": xoroshiro128starstar_keystream_words,
 }

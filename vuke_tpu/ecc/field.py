@@ -142,23 +142,24 @@ def _col_select_matrices():
 def fe_mul(a, b):
     """(..., 16) x (..., 16) -> (..., 16), product mod p (semi-reduced).
 
-    Partial products in uint32 (16-bit limbs keep them exact), column
-    reduction as an f32 matmul on the MXU, then one carry chain and the
-    pseudo-Mersenne fold.
+    Schoolbook product as a chain of *fusable elementwise ops*: for each
+    limb i of ``a``, multiply the whole ``b`` vector, split into 16-bit
+    halves, and accumulate into a 32-column tensor via zero-padded shifts.
+    Everything is elementwise (mul/and/shift/pad/add), so XLA fuses the
+    chain into one VMEM-resident loop — no (N,256) intermediates hit HBM
+    (an earlier MXU-matmul formulation was HBM-bound on exactly those).
+    Column sums stay < 2^22, exact in uint32.
     """
-    prod = a[..., :, None] * b[..., None, :]          # (..., 16, 16) uint32
-    lo = (prod & np.uint32(0xFFFF)).astype(jnp.float32)
-    hi = (prod >> np.uint32(16)).astype(jnp.float32)
-    batch_shape = prod.shape[:-2]
-    lo_sel, hi_sel = _col_select_matrices()
-    # precision=HIGHEST is required for bit-exactness: the default matmul
-    # precision computes f32 dots with bf16-level mantissas on TPU-class
-    # backends, which corrupts the integer-valued columns.
-    cols_f = (jnp.matmul(lo.reshape(batch_shape + (256,)), lo_sel,
-                         precision=jax.lax.Precision.HIGHEST)
-              + jnp.matmul(hi.reshape(batch_shape + (256,)), hi_sel,
-                           precision=jax.lax.Precision.HIGHEST))
-    cols = cols_f.astype(jnp.uint32)                  # exact: < 2^22
+    cols = None
+    for i in range(16):
+        p = a[..., i][..., None] * b                  # (..., 16) uint32
+        lo = p & np.uint32(0xFFFF)
+        hi = p >> np.uint32(16)
+        pad = [(0, 0)] * (p.ndim - 1)
+        lo_p = jnp.pad(lo, pad + [(i, 16 - i)])       # cols i .. i+15 of 32
+        hi_p = jnp.pad(hi, pad + [(i + 1, 15 - i)])   # cols i+1 .. i+16
+        contrib = lo_p + hi_p
+        cols = contrib if cols is None else cols + contrib
     carried, _ = _carry16([cols[..., k] for k in range(32)])
     return jnp.stack(_reduce_512(carried), axis=-1)
 

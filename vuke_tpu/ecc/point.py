@@ -170,7 +170,7 @@ def scalar_mul_base(digits):
         acc_inf = acc_inf & d_zero
         return (X, Y, Z, acc_inf), None
 
-    (X, Y, Z, _), _ = jax.lax.scan(body, (X, Y, Z, acc_inf), (table, digits_t))
+    (X, Y, Z, _), _ = jax.lax.scan(body, (X, Y, Z, acc_inf), (table, digits_t), unroll=4)
     return X, Y, Z
 
 

@@ -113,7 +113,9 @@ _KEYGEN_CACHE: dict = {}
 
 def _keygen_program(nt):
     """Per-NumericTransform jitted keygen, cached by transform object id so
-    repeated driver construction reuses the compiled program."""
+    repeated driver construction reuses the compiled program.  Transforms
+    marked ``host_only`` (EC-heavy wallet derivations) run eagerly on host.
+    """
     fn = _KEYGEN_CACHE.get(id(nt))
     if fn is None:
         def keygen(start_hi, start_lo, limit, offs):
@@ -122,7 +124,17 @@ def _keygen_program(nt):
             valid = valid & (offs < limit)[:, None]
             return keys, valid
 
-        fn = jax.jit(keygen)
+        if getattr(nt, "host_only", False):
+            def fn(start_hi, start_lo, limit, offs):
+                import numpy as _np
+                offs_np = _np.asarray(offs)
+                lo = (_np.uint64(int(start_lo)) + offs_np.astype(_np.uint64))
+                hi = (_np.uint64(int(start_hi)) + (lo >> _np.uint64(32))).astype(_np.uint32)
+                keys, valid = nt.fn(hi, (lo & _np.uint64(0xFFFFFFFF)).astype(_np.uint32))
+                valid = np.asarray(valid) & (offs_np < int(limit))[:, None]
+                return jnp.asarray(keys), jnp.asarray(valid)
+        else:
+            fn = jax.jit(keygen)
         _KEYGEN_CACHE[id(nt)] = fn
     return fn
 
@@ -213,7 +225,10 @@ class ForwardDriver:
         key = ("single", id(spec.numeric))
         fn = _KEYGEN_CACHE.get(key)
         if fn is None:
-            fn = jax.jit(spec.numeric.fn)
+            if getattr(spec.numeric, "host_only", False):
+                fn = spec.numeric.fn
+            else:
+                fn = jax.jit(spec.numeric.fn)
             _KEYGEN_CACHE[key] = fn
         hi = jnp.asarray(np.array([seed >> 32], dtype=np.uint32))
         lo = jnp.asarray(np.array([seed & 0xFFFFFFFF], dtype=np.uint32))
@@ -317,6 +332,36 @@ class StringDriver:
             out[ofs:ofs + m] = np.asarray(self._dm(jnp.asarray(chunk), *pool_args))[:m]
         return out
 
+    def process_blob(self, data: bytes, label: str) -> ProcessStats:
+        """Single blob input (FilesSource): runs blob-capable transforms
+        (bitimage) on file bytes; others see the label string only."""
+        stats = ProcessStats()
+        for spec in self.specs:
+            st = spec.string
+            if st is None:
+                continue
+            blob_fn = getattr(st, "blob_fn", None)
+            if blob_fn is None:
+                stats.merge(self.process_batch([label]))
+                continue
+            keys = blob_fn([(data, label)])
+            valid = blob_fn.last_valid
+            stats.keys_generated += int(valid.sum())
+            n, S = keys.shape[:2]
+            for s_i in range(S):
+                if not valid[0, s_i]:
+                    continue
+                derived = self.deriver.derive(key_words_to_bytes(keys[0, s_i]))
+                source = f"{label}{st.slots[s_i]}"
+                if self.matcher is not None:
+                    info = self.matcher.check(derived)
+                    if info is not None:
+                        stats.matches_found += 1
+                        self.output.hit(source, spec.name, derived, info)
+                else:
+                    self.output.key(source, spec.name, derived)
+        return stats
+
     def process_batch(self, strings: Sequence[str]) -> ProcessStats:
         stats = ProcessStats(inputs_processed=len(strings))
         if not strings:
@@ -330,6 +375,7 @@ class StringDriver:
                      else np.ones(keys.shape[:2], dtype=bool))
             stats.keys_generated += int(valid.sum())
             n, S = keys.shape[:2]
+            label = getattr(st, "label_fn", None) or (lambda s: s)
             if self.matcher is not None and self.targets is not None and not self.targets.empty:
                 mask = self._device_match(keys.reshape(-1, 8)) & valid.reshape(-1)
                 for flat_i in np.nonzero(mask)[0]:
@@ -338,13 +384,14 @@ class StringDriver:
                     info = self.matcher.check(derived)
                     if info is not None:
                         stats.matches_found += 1
-                        self.output.hit(f"{strings[i]}{st.slots[s_i]}", spec.name,
-                                        derived, info)
+                        self.output.hit(f"{label(strings[i])}{st.slots[s_i]}",
+                                        spec.name, derived, info)
             elif self.matcher is None:
                 for i in range(n):
                     for s_i in range(S):
                         if not valid[i, s_i]:
                             continue
                         derived = self.deriver.derive(key_words_to_bytes(keys[i, s_i]))
-                        self.output.key(f"{strings[i]}{st.slots[s_i]}", spec.name, derived)
+                        self.output.key(f"{label(strings[i])}{st.slots[s_i]}",
+                                        spec.name, derived)
         return stats
