@@ -16,7 +16,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def main():
-    batch = int(os.environ.get("VUKE_BENCH_BATCH", 1 << 18))
+    batch = int(os.environ.get("VUKE_BENCH_BATCH", 1 << 20))
     measure_s = float(os.environ.get("VUKE_BENCH_SECONDS", 10.0))
     from vuke_tpu.benchmark import bench_derive
     r = bench_derive(batch=batch, warmup_s=3.0, measure_s=measure_s,

@@ -31,8 +31,12 @@ def _cfg(**kw):
 def test_parse_private_key_formats():
     k = parse_private_key("0xabc")
     assert k == (0xABC).to_bytes(32, "big")
+    # hex wins over decimal for short digit strings (key_parser.rs order)
     k = parse_private_key("255")
-    assert k == (255).to_bytes(32, "big")
+    assert k == (0x255).to_bytes(32, "big")
+    # >64 digits can only be decimal
+    big = 10**70
+    assert parse_private_key(str(big)) == big.to_bytes(32, "big")
     k = parse_private_key("5KJvsngHeMpm884wtkJNzQGaCErckhHJBGFsvd3VyK5qMZXj3hS")
     assert k.hex() == "c4bbcb1fbec99d65bf59d85c8cb62ee2db963f0fe106f483d9afa73bd4e39a8a"
     with pytest.raises(Exception):

@@ -1,0 +1,59 @@
+"""Distribution-layer tests: partitioning math, checkpoint manifests.
+
+Device-level sharding is covered by __graft_entry__.dryrun_multichip (driver)
+and tests/test_sharding.py (subprocess CPU mesh); these tests cover the
+host-side logic directly.
+"""
+
+import pytest
+
+from vuke_tpu.parallel.checkpoint import SweepCheckpoint
+from vuke_tpu.parallel.multihost import RangeShard, partition_range
+
+
+def test_partition_range_exact():
+    shards = partition_range(0, 99, 4)
+    assert [s.count for s in shards] == [25, 25, 25, 25]
+    assert shards[0].start == 0 and shards[3].end == 99
+    # contiguity
+    for a, b in zip(shards, shards[1:]):
+        assert b.start == a.end + 1
+
+
+def test_partition_range_remainder():
+    shards = partition_range(10, 20, 3)  # 11 seeds
+    assert [s.count for s in shards] == [4, 4, 3]
+    assert shards[0].start == 10 and shards[2].end == 20
+
+
+def test_partition_range_host_view():
+    s = partition_range(0, 2**32 - 1, 8, host_id=3)
+    assert isinstance(s, RangeShard)
+    assert s.count == 2**32 // 8
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = str(tmp_path / "ckpt.json")
+    c = SweepCheckpoint.load(p, job_id="scan-1")
+    c.mark_completed(0, 99)
+    c.mark_completed(100, 199)   # merges with previous
+    c.mark_completed(300, 399)
+    c.save()
+
+    c2 = SweepCheckpoint.load(p, job_id="scan-1")
+    assert c2.completed == [(0, 199), (300, 399)]
+    assert c2.pending_ranges(0, 499) == [(200, 299), (400, 499)]
+    assert c2.pending_ranges(0, 150) == []
+    assert c2.pending_ranges(250, 260) == [(250, 260)]
+
+    # different job id -> fresh manifest
+    c3 = SweepCheckpoint.load(p, job_id="scan-2")
+    assert c3.completed == []
+
+
+def test_checkpoint_found_seed(tmp_path):
+    p = str(tmp_path / "ckpt.json")
+    c = SweepCheckpoint.load(p, job_id="j")
+    c.found_seed = 42
+    c.save()
+    assert SweepCheckpoint.load(p, job_id="j").found_seed == 42

@@ -1,0 +1,115 @@
+"""Source semantics + CLI parsing tests (host-side)."""
+
+import datetime as dt
+
+import pytest
+
+from vuke_tpu.sources import FilesSource, RangeSource, TimestampSource, WordlistSource
+from vuke_tpu.transforms import parse_transform
+from vuke_tpu.cli import _parse_byte_size
+
+
+def test_timestamp_source_dates():
+    src = TimestampSource.from_dates("2009-01-03", "2009-01-04")
+    assert src.start == int(dt.datetime(2009, 1, 3, tzinfo=dt.timezone.utc).timestamp())
+    assert src.end == int(dt.datetime(2009, 1, 4, 23, 59, 59,
+                                      tzinfo=dt.timezone.utc).timestamp())
+    assert not src.microseconds
+
+
+def test_timestamp_ms_expansion_ranges():
+    # ms mode adds the lattice [start*1000, (end+1)*1000 - 1]
+    src = TimestampSource(100, 101, microseconds=True)
+
+    calls = []
+
+    class FakeDriver:
+        def run_range(self, s, e):
+            calls.append((s, e))
+            from vuke_tpu.pipeline import ProcessStats
+            return ProcessStats(inputs_processed=e - s + 1)
+
+    stats = src.process(FakeDriver())
+    assert calls == [(100, 101), (100000, 101999)]
+    assert stats.inputs_processed == 2 + 2000
+
+
+def test_wordlist_source(tmp_path):
+    p = tmp_path / "words.txt"
+    p.write_text("hello\n\n  spaced  \nworld\n")
+    assert WordlistSource(str(p)).words() == ["hello", "spaced", "world"]
+
+
+def test_files_source(tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"aaa")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.bin").write_bytes(b"bbb")
+    flat = FilesSource(str(tmp_path), recursive=False)
+    assert len(flat.entries()) == 1
+    rec = FilesSource(str(tmp_path), recursive=True)
+    assert len(rec.entries()) == 2
+    blobs = dict((label.split("/")[-1], data) for data, label in rec.blobs())
+    assert blobs == {"a.bin": b"aaa", "b.bin": b"bbb"}
+
+
+def test_parse_byte_size():
+    assert _parse_byte_size("100M") == 100 * 1024 * 1024
+    assert _parse_byte_size("1G") == 1024 ** 3
+    assert _parse_byte_size("512") == 512
+    assert _parse_byte_size("2K") == 2048
+
+
+def test_transform_grammar_errors():
+    with pytest.raises(ValueError, match="Unknown transform"):
+        parse_transform("nope")
+    with pytest.raises(ValueError, match="Invalid LCG variant"):
+        parse_transform("lcg:bogus:be")
+    with pytest.raises(ValueError, match="Invalid endian"):
+        parse_transform("lcg:glibc:middle")
+    with pytest.raises(ValueError, match="Invalid xorshift variant"):
+        parse_transform("xorshift:999")
+    with pytest.raises(ValueError, match="Invalid SHA256 chain"):
+        parse_transform("sha256_chain:bogus")
+
+
+def test_transform_grammar_variants():
+    assert parse_transform("lcg:glibc").numeric.slots == [""]
+    assert parse_transform("lcg").numeric.slots == [
+        ":glibc", ":minstd", ":msvc", ":borland"]
+    assert parse_transform("lcg:le").numeric.slots == [
+        ":glibc:le", ":minstd:le", ":msvc:le", ":borland:le"]
+    assert parse_transform("xorshift:128plus").numeric.slots == [""]
+    assert parse_transform("sha256_chain:indexed:le").name == "sha256_chain:indexed:le"
+    assert parse_transform("electrum:change").name == "electrum:change"
+
+
+def test_provider_resolve(tmp_path, monkeypatch):
+    import json
+    from vuke_tpu import provider
+    data = {
+        "b1000": [
+            {"id": 1, "bits": 1, "address": "1A", "solved": True, "key_hex": "1"},
+            {"id": 2, "bits": 2, "address": "1B", "solved": True, "key_hex": "3"},
+            {"id": 3, "bits": 3, "address": "1C", "solved": False},
+        ]
+    }
+    p = tmp_path / "puzzles.json"
+    p.write_text(json.dumps(data))
+    monkeypatch.setenv("VUKE_TPU_PUZZLE_DATA", str(p))
+    provider._DATASET._collections = None  # reset cache
+
+    r = provider.resolve("boha:b1000:unsolved")
+    assert r.addresses == ["1C"]
+    r = provider.resolve("boha:b1000:solved")
+    assert r.addresses == ["1A", "1B"]
+    r = provider.resolve("boha:b1000:3")
+    assert r.context.mask_bits == 3
+    r = provider.resolve("boha:b1000:3:2")
+    assert len(r.context.cascade_targets) == 2
+    # mask formula check: key 3, bits 2 -> (3 & 0b11) | 0b10 = 3
+    assert (2, 3) in r.context.cascade_targets
+    assert provider.resolve("some/file.txt") is None
+    with pytest.raises(ValueError, match="Unknown collection"):
+        provider.resolve("boha:nope")
+    provider._DATASET._collections = None

