@@ -71,7 +71,16 @@ def milksad_key_words(seeds, n_keys: int = 1):
     (rand_mt ``fill_bytes``), so BE key words = byteswap(output).
     Successive keys (cascade semantics, /root/reference/src/analyze/
     milksad.rs:277-296) reuse the same keystream.
+
+    Tile-aligned single-key batches on TPU backends dispatch to the Pallas
+    kernel (register-resident init recurrence, ~40x the scan version).
     """
+    seeds = jnp.asarray(seeds, dtype=jnp.uint32)
+    if n_keys == 1 and seeds.ndim == 1 and seeds.shape[0] % 1024 == 0:
+        from ..ecc.pubkey import use_pallas_default
+        if use_pallas_default():
+            from .pallas_kernels import milksad_key_words_pallas
+            return milksad_key_words_pallas(seeds)[:, None, :]
     outs = mt19937_outputs(seeds, n_out=8 * n_keys)
     words = byteswap32(outs)
     return words.reshape(words.shape[:-1] + (n_keys, 8))

@@ -114,7 +114,8 @@ def compress(state, m, unroll: bool = False):
         return (al, bl, cl, dl, el, ar, br, cr, dr, er)
 
     init = (h0, h1, h2, h3, h4, h0, h1, h2, h3, h4)
-    al, bl, cl, dl, el, ar, br, cr, dr, er = jax.lax.fori_loop(0, 80, round_fn, init)
+    al, bl, cl, dl, el, ar, br, cr, dr, er = jax.lax.fori_loop(0, 80, round_fn,
+                                                               init, unroll=16)
     t = h1 + cl + dr
     h1 = h2 + dl + er
     h2 = h3 + el + ar

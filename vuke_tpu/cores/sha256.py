@@ -80,7 +80,8 @@ def compress(state, w16, unroll: bool = False):
         return (t1 + t2, a, b, c, d + t1, e, f, g, W)
 
     init = tuple(state) + (W0,)
-    a, b, c, d, e, f, g, h, _ = jax.lax.fori_loop(0, 64, round_fn, init)
+    a, b, c, d, e, f, g, h, _ = jax.lax.fori_loop(0, 64, round_fn, init,
+                                                  unroll=16)
     return (a + state[0], b + state[1], c + state[2], d + state[3],
             e + state[4], f + state[5], g + state[6], h + state[7])
 

@@ -138,15 +138,24 @@ def hash160_fragment(h160_le_words):
     return byteswap32(h160_le_words[..., 0]), byteswap32(h160_le_words[..., 1])
 
 
-def derive_hash160s(words, inv_chunk: int = 32):
+def derive_hash160s(words, inv_chunk: int = 32, use_pallas: bool | None = None):
     """Full fused derive: normalized scalars -> both hash160s.
 
     Returns dict with compressed/uncompressed (..., 5) LE-word hash160s.
     """
-    xw, yw, y_odd = derive_pubkey(words, inv_chunk)
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    xw, yw, y_odd = derive_pubkey(words, inv_chunk, use_pallas=use_pallas)
+    n = words.shape[0] if words.ndim == 2 else None
+    if use_pallas and n is not None and n % 1024 == 0:
+        from ..cores.pallas_kernels import hash160s_pallas
+        h160c, h160u = hash160s_pallas(xw, yw, y_odd)
+    else:
+        h160c = hash160_compressed(xw, y_odd)
+        h160u = hash160_uncompressed(xw, yw)
     return {
-        "h160c": hash160_compressed(xw, y_odd),
-        "h160u": hash160_uncompressed(xw, yw),
+        "h160c": h160c,
+        "h160u": h160u,
         "x_words": xw,
         "y_words": yw,
         "y_odd": y_odd,
