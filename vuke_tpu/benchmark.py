@@ -81,20 +81,45 @@ def bench_transform(transform_s: str, batch: int = 1 << 16, warmup_s: float = 2.
 
 def bench_derive(batch: int = 1 << 20, warmup_s: float = 2.0, measure_s: float = 5.0,
                  inv_chunk: int = 1024):
-    """Full fused seed->pubkey->hash160 rate (north-star metric)."""
+    """Full fused seed->pubkey->hash160 rate (north-star metric).
+
+    Multi-device: the seed lattice shards over a 1-D "seeds" mesh via
+    shard_map (per-device batch = batch/n_devices); single-device runs take
+    the plain jit path.  ``batch`` is the GLOBAL batch either way.
+    """
     from .ecc.pubkey import derive_hash160s, normalize_scalar
     from .cores.mt19937 import milksad_key_words
-    offs = jnp.asarray(np.arange(batch, dtype=np.uint32))
 
-    counter = {"i": 0}
+    n_dev = len(jax.devices())
 
-    @jax.jit
-    def step(start_lo, offs):
+    def body(start_lo, offs):
         seeds = start_lo + offs
         keys = milksad_key_words(seeds, n_keys=1)[:, 0, :]
         norm = normalize_scalar(keys)
         d = derive_hash160s(norm, inv_chunk=inv_chunk)
         return d["h160c"].sum(dtype=jnp.uint32), d["h160u"].sum(dtype=jnp.uint32)
+
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        assert batch % (n_dev * 1024) == 0, "global batch must be n_dev*1024-aligned"
+        mesh = Mesh(np.array(jax.devices()), axis_names=("seeds",))
+        offs = jax.device_put(np.arange(batch, dtype=np.uint32),
+                              NamedSharding(mesh, P("seeds")))
+
+        def sharded(start_lo, offs):
+            hc, hu = body(start_lo, offs)
+            return (jax.lax.psum(hc.astype(jnp.int32), "seeds"),
+                    jax.lax.psum(hu.astype(jnp.int32), "seeds"))
+
+        step = jax.jit(shard_map(sharded, mesh=mesh,
+                                 in_specs=(P(), P("seeds")),
+                                 out_specs=(P(), P())))
+    else:
+        offs = jnp.asarray(np.arange(batch, dtype=np.uint32))
+        step = jax.jit(body)
+
+    counter = {"i": 0}
 
     def fn():
         counter["i"] += 1
@@ -106,6 +131,7 @@ def bench_derive(batch: int = 1 << 20, warmup_s: float = 2.0, measure_s: float =
         "metric": "seed_to_hash160_derivations_per_sec",
         "derivations_per_sec": rate,
         "batch": batch,
+        "devices": n_dev,
         "iterations": iters,
         "elapsed_secs": secs,
     }

@@ -57,7 +57,9 @@ def compress(state, m, unroll: bool = False):
         f = f + A + K[i] + mg
         return (D, B + _rotl_var(f, S[i]), B, C)
 
-    A, B, C, D = jax.lax.fori_loop(0, 64, round_fn, tuple(state), unroll=16)
+    vzero = m[0] * np.uint32(0)                 # varying-safe zero
+    A, B, C, D = jax.lax.fori_loop(0, 64, round_fn,
+                                   tuple(x + vzero for x in state), unroll=16)
     a, b, c, d = state
     return (a + A, b + B, c + C, d + D)
 

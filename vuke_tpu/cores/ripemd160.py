@@ -100,7 +100,8 @@ def compress(state, m, unroll: bool = False):
     KL = jnp.asarray(_KL)
     KR = jnp.asarray(_KR)
 
-    h0, h1, h2, h3, h4 = state
+    vzero = m[0] * np.uint32(0)                 # varying-safe zero
+    h0, h1, h2, h3, h4 = (x + vzero for x in state)
 
     def round_fn(j, carry):
         al, bl, cl, dl, el, ar, br, cr, dr, er = carry

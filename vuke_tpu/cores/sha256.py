@@ -58,6 +58,8 @@ def compress(state, w16, unroll: bool = False):
 
     W0 = jnp.stack(list(w16), axis=0)           # (16, ...batch)
     K = jnp.asarray(_K)
+    vzero = w16[0] * np.uint32(0)               # varying-safe zero
+    state = tuple(x + vzero for x in state)
 
     def round_fn(t, carry):
         a, b, c, d, e, f, g, h, W = carry

@@ -143,10 +143,13 @@ def scalar_mul_base(digits):
     """
     table = jnp.asarray(fixed_base_table())
     batch_shape = digits.shape[:-1]
-    X = jnp.zeros(batch_shape + (16,), dtype=jnp.uint32)
-    Y = jnp.zeros(batch_shape + (16,), dtype=jnp.uint32)
-    Z = jnp.zeros(batch_shape + (16,), dtype=jnp.uint32)
-    acc_inf = jnp.ones(batch_shape, dtype=bool)
+    # init carries derived from the (possibly shard_map-varying) input so
+    # the scan carry's varying manual axes match its outputs
+    vzero = digits[..., :1] * np.uint32(0)               # (..., 1) zeros
+    X = vzero + jnp.zeros(batch_shape + (16,), dtype=jnp.uint32)
+    Y = X
+    Z = X
+    acc_inf = (digits[..., 0] | np.uint32(1)) > 0        # all-True, varying
 
     digits_t = jnp.moveaxis(digits, -1, 0)  # (32, ...)
 
@@ -189,7 +192,7 @@ def batch_inverse(z, chunk: int = 32):
     def fwd(acc, zk):
         return fe_mul(acc, zk), acc  # emit exclusive prefix
 
-    one = jnp.zeros((m, 16), dtype=jnp.uint32).at[:, 0].set(1)
+    one = (zc[0] * np.uint32(0)).at[:, 0].set(1)  # varying-safe ones
     total, prefixes = jax.lax.scan(fwd, one, zc)
     inv_total = fe_inv(total)
 
