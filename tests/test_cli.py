@@ -1,0 +1,83 @@
+"""CLI smoke tests via click's test runner (host-fast command paths)."""
+
+import json
+
+import pytest
+from click.testing import CliRunner
+
+from vuke_tpu.cli import cli
+
+
+@pytest.fixture()
+def runner():
+    return CliRunner()
+
+
+def test_single_golden_vector(runner):
+    r = runner.invoke(cli, ["single", "correct horse battery staple",
+                            "--transform", "sha256"])
+    assert r.exit_code == 0, r.output
+    assert "5KJvsngHeMpm884wtkJNzQGaCErckhHJBGFsvd3VyK5qMZXj3hS" in r.output
+    assert "1JwSSubhmg6iPtRjtyqhUYYH7bZg3Lfy1T" in r.output
+    assert 'Passphrase: "correct horse battery staple"' in r.output
+
+
+def test_single_unknown_transform(runner):
+    r = runner.invoke(cli, ["single", "x", "--transform", "nope"])
+    assert r.exit_code != 0
+    assert "Unknown transform" in r.output
+
+
+def test_single_testnet_network(runner):
+    r = runner.invoke(cli, ["single", "hello", "--transform", "sha256",
+                            "--network", "testnet"])
+    assert r.exit_code == 0
+    # testnet addresses start with m/n, WIF with 9/c, bech32 with tb1
+    assert "tb1" in r.output
+
+
+def test_analyze_fast_json(runner):
+    r = runner.invoke(cli, ["analyze", "0x2a", "--fast", "--json"])
+    assert r.exit_code == 0, r.output
+    data = json.loads(r.output[r.output.index("{"):])
+    assert data["bit_length"] == 6
+    statuses = {x["analyzer"]: x["status"] for x in data["results"]}
+    assert statuses == {"direct": "possible", "heuristic": "possible"}
+
+
+def test_analyze_invalid_key(runner):
+    r = runner.invoke(cli, ["analyze", "zzz", "--fast"])
+    assert r.exit_code != 0
+
+
+def test_analyze_cascade_validation(runner):
+    r = runner.invoke(cli, ["analyze", "0x2a", "--fast", "--cascade", "5:0x15"])
+    assert r.exit_code != 0  # cascade needs >= 2 targets
+
+
+def test_query_cli(runner, tmp_path):
+    from vuke_tpu.derive import KeyDeriver
+    from vuke_tpu.storage import ParquetBackend, StorageOutput
+    out = StorageOutput(ParquetBackend(tmp_path))
+    d = KeyDeriver().derive(b"\x03" * 32)
+    for i in range(3):
+        out.key(str(i), "md5", d)
+    out.finish()
+    r = runner.invoke(cli, ["query", str(tmp_path),
+                            "SELECT COUNT(*) AS n FROM results", "-f", "json"])
+    assert r.exit_code == 0, r.output
+    assert json.loads(r.output[r.output.index("["):])[0]["n"] == 3
+    r = runner.invoke(cli, ["query", str(tmp_path), "--schema"])
+    assert r.exit_code == 0
+    assert "private_key_raw" in r.output
+
+
+def test_scan_missing_targets(runner):
+    r = runner.invoke(cli, ["scan", "range", "--start", "1", "--end", "10"])
+    assert r.exit_code != 0
+
+
+def test_help_surfaces(runner):
+    for cmd in ([], ["generate"], ["scan"], ["analyze"], ["query"], ["bench"]):
+        r = runner.invoke(cli, cmd + ["--help"])
+        assert r.exit_code == 0

@@ -57,3 +57,26 @@ def test_checkpoint_found_seed(tmp_path):
     c.found_seed = 42
     c.save()
     assert SweepCheckpoint.load(p, job_id="j").found_seed == 42
+
+
+def test_distributed_sweep_single_host():
+    """Single-process DistributedSweep degenerates to a plain sharded sweep
+    with the early-stop round protocol."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import oracles
+    import numpy as np
+    from vuke_tpu.analyze import sweeps
+    from vuke_tpu.cores.common import key_bytes_to_words
+    from vuke_tpu.cores.mt19937 import milksad_key_words
+    from vuke_tpu.parallel.multihost import DistributedSweep
+
+    seed = 5000
+    key = oracles.MT19937(seed).fill_bytes(32)
+    prog = sweeps.SweepProgram(lambda hi, lo, n: milksad_key_words(lo, n),
+                               "exact", batch=1 << 12)
+    ds = DistributedSweep(prog, round_batches=2)
+    import jax.numpy as jnp
+    found, searched = ds.run(0, 8191, target_words=jnp.asarray(key_bytes_to_words(key)))
+    assert found == seed
+    assert searched >= seed - 8192
