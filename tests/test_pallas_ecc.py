@@ -1,0 +1,90 @@
+"""Pallas ECC kernel parity: ZZ scalar-mul kernel and the tiled derive
+pipeline vs the XLA-staged path and the pure-Python oracle.
+
+The rest of the suite deliberately uses batches that are NOT multiples of
+1024, so the Pallas fast path (pubkey.derive_pubkey's ``n % 1024 == 0``
+gate) is never taken there.  These tests are the only coverage of the
+fused kernels and only run on a Mosaic-capable backend (TPU/axon); on CPU
+they skip.  Reference semantics: /root/reference/src/derive.rs:78-118
+(pubkey + hash160 for both compressed and uncompressed).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vuke_tpu.ecc import ref
+from vuke_tpu.ecc.pubkey import (derive_hash160s, derive_pubkey,
+                                 normalize_scalar)
+
+pytestmark = pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="Pallas kernels need a Mosaic backend")
+
+
+def _scalar_words(ks):
+    """list of ints -> (N, 8) BE u32 word array."""
+    return jnp.asarray(
+        np.array([[(k >> (32 * (7 - i))) & 0xFFFFFFFF for i in range(8)]
+                  for k in ks], dtype=np.uint32))
+
+
+def _interesting_scalars(n):
+    ks = [1, 2, 3, 255, 256, 257, ref.N - 1, ref.N - 2,
+          (1 << 255) + 12345, 0xDEADBEEF]
+    rng = np.random.RandomState(7)
+    while len(ks) < n:
+        ks.append(int.from_bytes(rng.bytes(32), "big") % (ref.N - 1) + 1)
+    return ks[:n]
+
+
+def test_pallas_pubkey_matches_xla_and_oracle():
+    ks = _interesting_scalars(1024)
+    words = _scalar_words(ks)
+    xp, yp, op = jax.jit(
+        lambda w: derive_pubkey(w, use_pallas=True))(words)
+    xs, ys, os_ = jax.jit(
+        lambda w: derive_pubkey(w, use_pallas=False))(words)
+    xp, yp, op = np.asarray(xp), np.asarray(yp), np.asarray(op)
+    assert (xp == np.asarray(xs)).all()
+    assert (yp == np.asarray(ys)).all()
+    assert (op == np.asarray(os_)).all()
+    # spot-check the first 8 against the pure-Python oracle
+    for i in range(8):
+        gx, gy = ref.point_mul(ks[i])
+        x_int = int.from_bytes(
+            b"".join(int(w).to_bytes(4, "big") for w in xp[i]), "big")
+        y_int = int.from_bytes(
+            b"".join(int(w).to_bytes(4, "big") for w in yp[i]), "big")
+        assert x_int == gx and y_int == gy
+        assert bool(op[i]) == bool(gy & 1)
+
+
+def test_tiled_derive_matches_standard():
+    from vuke_tpu.ecc.tiled import derive_hash160s_tiled
+    from vuke_tpu.cores.mt19937 import milksad_key_words
+
+    seeds = jnp.asarray(
+        np.random.RandomState(3).randint(0, 2**31, size=1024, dtype=np.int64)
+        .astype(np.uint32))
+    d_t = jax.jit(derive_hash160s_tiled)(seeds)
+
+    def std(seeds):
+        keys = milksad_key_words(seeds, n_keys=1)[:, 0, :]
+        return derive_hash160s(normalize_scalar(keys), inv_chunk=32)
+
+    d_s = jax.jit(std)(seeds)
+    hc = np.asarray(d_s["h160c"])
+    hu = np.asarray(d_s["h160u"])
+    assert (np.asarray(d_t["h160c"]) == hc).all()
+    assert (np.asarray(d_t["h160u"]) == hu).all()
+    # match fragments are the big-endian first 8 bytes of the hash160
+    def be(a):
+        return np.frombuffer(
+            np.ascontiguousarray(a).tobytes(), dtype=">u4").reshape(a.shape)
+
+    assert (np.asarray(d_t["frag_c"][0]) == be(hc[:, 0])).all()
+    assert (np.asarray(d_t["frag_c"][1]) == be(hc[:, 1])).all()
+    assert (np.asarray(d_t["frag_u"][0]) == be(hu[:, 0])).all()
+    assert (np.asarray(d_t["frag_u"][1]) == be(hu[:, 1])).all()

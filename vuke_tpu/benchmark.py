@@ -87,13 +87,21 @@ def bench_derive(batch: int = 1 << 20, warmup_s: float = 2.0, measure_s: float =
     shard_map (per-device batch = batch/n_devices); single-device runs take
     the plain jit path.  ``batch`` is the GLOBAL batch either way.
     """
-    from .ecc.pubkey import derive_hash160s, normalize_scalar
+    import os
+    from .ecc.pubkey import derive_hash160s, normalize_scalar, use_pallas_default
     from .cores.mt19937 import milksad_key_words
 
     n_dev = len(jax.devices())
+    tiled = (use_pallas_default()
+             and os.environ.get("VUKE_BENCH_TILED", "1") not in ("0", "false"))
 
     def body(start_lo, offs):
         seeds = start_lo + offs
+        if tiled:
+            from .ecc.tiled import derive_hash160s_tiled
+            d = derive_hash160s_tiled(seeds)
+            return (d["frag_c"][0].sum(dtype=jnp.uint32),
+                    d["frag_u"][0].sum(dtype=jnp.uint32))
         keys = milksad_key_words(seeds, n_keys=1)[:, 0, :]
         norm = normalize_scalar(keys)
         d = derive_hash160s(norm, inv_chunk=inv_chunk)

@@ -97,11 +97,12 @@ def derive_pubkey(words, inv_chunk: int = 32, use_pallas: bool | None = None):
         use_pallas = use_pallas_default()
     n = words.shape[0] if words.ndim == 2 else None
     if use_pallas and n is not None and n % 1024 == 0:
-        from .pallas_smul import scalar_mul_base_pallas
-        X, Y, Z = scalar_mul_base_pallas(digits)
+        from .pallas_smul import scalar_mul_zz_pallas, to_affine_zz
+        X, Y, ZZ, ZZZ = scalar_mul_zz_pallas(digits)
+        x, y = to_affine_zz(X, Y, ZZ, ZZZ, chunk=inv_chunk)
     else:
         X, Y, Z = scalar_mul_base(digits)
-    x, y = to_affine(X, Y, Z, chunk=inv_chunk)
+        x, y = to_affine(X, Y, Z, chunk=inv_chunk)
     x = fe_normalize(x)
     y = fe_normalize(y)
     return fe_to_words_be(x), fe_to_words_be(y), fe_is_odd(y)

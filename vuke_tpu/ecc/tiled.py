@@ -1,0 +1,204 @@
+"""Tile-layout derive pipeline: no HBM transposes between kernels.
+
+The standard path shuffles (N, words) <-> (words, nb, 8, 128) around every
+Pallas kernel (~70ms of pure relayout at 2^20).  This pipeline keeps
+everything limb/word-major: keygen -> normalize -> digits -> scalar-mul ->
+batched inversion (a scan over the tile axis using the same row-list field
+ops as the kernel) -> affine -> hash160 -> match fragments, with a single
+narrow transpose at the very end for the (N, 5) hash160s.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import ref
+from .pallas_smul import (_add_t, _carry_rows, _mul_t, _neg_t, _reduce_rows,
+                          _sub_t, scalar_mul_zz_pallas, _smul_call, _table_f32)
+
+_N_WORDS = np.array([(ref.N >> (32 * (7 - i))) & 0xFFFFFFFF for i in range(8)],
+                    dtype=np.uint32)
+
+
+def _fe_inv_rows(a_rows):
+    """Fermat inversion on a row-list field element (any common row shape)."""
+
+    def mul(x, y):
+        return _mul_t(x, y)
+
+    def sqr_k(x, k):
+        def body(_, v):
+            vs = [v[i] for i in range(16)]
+            out = _mul_t(vs, vs)
+            return jnp.stack(out, axis=0)
+        v = jnp.stack(x, axis=0)
+        v = jax.lax.fori_loop(0, k, body, v)
+        return [v[i] for i in range(16)]
+
+    x1 = a_rows
+    x2 = mul(sqr_k(x1, 1), x1)
+    x3 = mul(sqr_k(x2, 1), x1)
+    x6 = mul(sqr_k(x3, 3), x3)
+    x9 = mul(sqr_k(x6, 3), x3)
+    x11 = mul(sqr_k(x9, 2), x2)
+    x22 = mul(sqr_k(x11, 11), x11)
+    x44 = mul(sqr_k(x22, 22), x22)
+    x88 = mul(sqr_k(x44, 44), x44)
+    x176 = mul(sqr_k(x88, 88), x88)
+    x220 = mul(sqr_k(x176, 44), x44)
+    x223 = mul(sqr_k(x220, 3), x3)
+    t = mul(sqr_k(x223, 23), x22)
+    t = mul(sqr_k(t, 5), x1)
+    t = mul(sqr_k(t, 3), x2)
+    t = mul(sqr_k(t, 2), x1)
+    return t
+
+
+def _batch_inverse_tiles(z):
+    """Montgomery inversion over the tile axis.
+
+    z: (16, nb, 8, 128) uint32 -> elementwise inverses, same shape.
+    Prefix products scan along nb (each step is a field mul on a full
+    (8,128) tile), one Fermat inversion of the total, backward scan.
+    """
+    nb = z.shape[1]
+    zc = jnp.moveaxis(z, 1, 0)                     # (nb, 16, 8, 128)
+
+    def fwd(acc, zk):
+        acc_rows = [acc[i] for i in range(16)]
+        zk_rows = [zk[i] for i in range(16)]
+        nxt = jnp.stack(_mul_t(acc_rows, zk_rows), axis=0)
+        return nxt, acc
+
+    one = (zc[0] * np.uint32(0)).at[0].set(1)
+    total, prefixes = jax.lax.scan(fwd, one, zc)
+
+    inv_total = jnp.stack(_fe_inv_rows([total[i] for i in range(16)]), axis=0)
+
+    def bwd(inv_acc, xs):
+        zk, pref = xs
+        ia = [inv_acc[i] for i in range(16)]
+        inv_zk = jnp.stack(_mul_t(ia, [pref[i] for i in range(16)]), axis=0)
+        nxt = jnp.stack(_mul_t(ia, [zk[i] for i in range(16)]), axis=0)
+        return nxt, inv_zk
+
+    _, inv = jax.lax.scan(bwd, inv_total, (zc, prefixes), reverse=True)
+    return jnp.moveaxis(inv, 0, 1)                 # (16, nb, 8, 128)
+
+
+def _normalize_words_t(words_t):
+    """(8, ...) BE-word scalars -> reduced into [1, n-1] (limbwise ge/sub)."""
+    ge = jnp.zeros(words_t.shape[1:], dtype=bool)
+    decided = jnp.zeros(words_t.shape[1:], dtype=bool)
+    for i in range(8):
+        ni = _N_WORDS[i]
+        gt = words_t[i] > ni
+        lt = words_t[i] < ni
+        ge = jnp.where(~decided & gt, True, ge)
+        decided = decided | gt | lt
+    ge = ge | ~decided
+    sub = []
+    borrow = jnp.zeros(words_t.shape[1:], dtype=jnp.uint32)
+    for i in range(7, -1, -1):
+        a = words_t[i]
+        b = np.uint32(_N_WORDS[i])
+        t = a - b
+        b1 = (a < b).astype(jnp.uint32)
+        t2 = t - borrow
+        b2 = (t < borrow).astype(jnp.uint32)
+        sub.append(t2)
+        borrow = b1 | b2
+    sub = jnp.stack(sub[::-1], axis=0)
+    out = jnp.where(ge[None], sub, words_t)
+    zero = jnp.all(out == 0, axis=0)
+    out = out.at[7].set(jnp.where(zero, np.uint32(1), out[7]))
+    return out
+
+
+def _digits_t(words_t):
+    """(8, ...) BE words -> (32, ...) byte windows, least-significant first."""
+    digs = []
+    for w in range(32):
+        word = words_t[7 - w // 4]
+        digs.append((word >> np.uint32(8 * (w % 4))) & np.uint32(0xFF))
+    return jnp.stack(digs, axis=0)
+
+
+def _limbs_to_words_t(rows):
+    """16 limb rows -> 8 BE-word rows (word j = limb[15-2j]<<16|limb[14-2j])."""
+    return jnp.stack(
+        [(rows[15 - 2 * j] << np.uint32(16)) | rows[14 - 2 * j] for j in range(8)],
+        axis=0)
+
+
+def _fe_normalize_rows(rows):
+    """Canonical representative (subtract p while >= p, twice)."""
+    P_LIMBS = [np.uint32((ref.P >> (16 * i)) & 0xFFFF) for i in range(16)]
+    out = rows
+    for _ in range(2):
+        ge = jnp.zeros_like(out[0], dtype=bool)
+        decided = jnp.zeros_like(out[0], dtype=bool)
+        for i in range(15, -1, -1):
+            gt = out[i] > P_LIMBS[i]
+            lt = out[i] < P_LIMBS[i]
+            ge = jnp.where(~decided & gt, True, ge)
+            decided = decided | gt | lt
+        ge = ge | ~decided
+        sub = []
+        borrow = jnp.zeros_like(out[0])
+        for i in range(16):
+            t = out[i] - P_LIMBS[i] - borrow
+            sub.append(t & np.uint32(0xFFFF))
+            borrow = (t >> np.uint32(16)) & np.uint32(1)
+        out = [jnp.where(ge, sub[i], out[i]) for i in range(16)]
+    return out
+
+
+def derive_hash160s_tiled(seeds):
+    """Fused milksad-seed -> hash160 fragments, all in tile layout.
+
+    seeds: (N,) uint32, N % 1024 == 0.  Returns dict with h160c/h160u as
+    (N, 5) LE words plus fragment (hi, lo) arrays (N,).
+    """
+    from ..cores.pallas_kernels import _mt_call, _hash160_call
+    from ..cores.common import byteswap32
+
+    n = seeds.shape[0]
+    assert n % 1024 == 0
+    nb = n // 1024
+
+    kw_t = _mt_call(n)(seeds.reshape(nb, 8, 128))      # (8, nb, 8, 128)
+    norm_t = _normalize_words_t(kw_t)
+    digits_t = _digits_t(norm_t)                       # (32, nb, 8, 128)
+
+    table = jnp.asarray(_table_f32())
+    X, Y, ZZ, ZZZ = _smul_call(n, 1024)(digits_t, table)  # (16, nb, 8, 128) x4
+
+    rowsof = lambda a: [a[i] for i in range(16)]
+    T = _mul_t(rowsof(ZZ), rowsof(ZZZ))
+    iT = _batch_inverse_tiles(jnp.stack(T, axis=0))
+    iT_rows = rowsof(iT)
+    x = _mul_t(_mul_t(rowsof(X), iT_rows), rowsof(ZZZ))
+    y = _mul_t(_mul_t(rowsof(Y), iT_rows), rowsof(ZZ))
+    x = _fe_normalize_rows(x)
+    y = _fe_normalize_rows(y)
+
+    xw_t = _limbs_to_words_t(x)                        # (8, nb, 8, 128)
+    yw_t = _limbs_to_words_t(y)
+    y_odd = (y[0] & np.uint32(1))                      # (nb, 8, 128)
+
+    hc_t, hu_t = _hash160_call(n)(xw_t, yw_t, y_odd)   # (5, nb, 8, 128) x2
+
+    frag_c_hi = byteswap32(hc_t[0]).reshape(n)
+    frag_c_lo = byteswap32(hc_t[1]).reshape(n)
+    frag_u_hi = byteswap32(hu_t[0]).reshape(n)
+    frag_u_lo = byteswap32(hu_t[1]).reshape(n)
+
+    return {
+        "h160c": hc_t.reshape(5, n).T,
+        "h160u": hu_t.reshape(5, n).T,
+        "frag_c": (frag_c_hi, frag_c_lo),
+        "frag_u": (frag_u_hi, frag_u_lo),
+    }
