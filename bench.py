@@ -1,19 +1,33 @@
 #!/usr/bin/env python
 """Driver benchmark: fused seed->pubkey->hash160 derivation rate on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"} — a guaranteed
+early line from the cheap-to-compile XLA path, then (budget permitting) an
+upgraded line from the fused Pallas pipeline.  The LAST line printed is the
+best measured number.
+
 vs_baseline is measured against the BASELINE.json north-star target of
-100M derivations/sec on a v5p-8 (scaled here to whatever chips are local).
+100M derivations/sec on a v5p-8, scaled by peak-TFLOPs ratio to whatever
+chips are local.
+
+Stages run as subprocesses under hard timeouts (Mosaic compiles are
+minutes-long and not persistently cached on this backend; round-1's bench
+timed out in the driver window and shipped no number — never again).  This
+parent process deliberately never imports jax: the TPU is a single shared
+device and a parent holding it would deadlock the stage.
+
+Env knobs: VUKE_BENCH_BUDGET_S (total wall budget, default 1500),
+VUKE_BENCH_BATCH, VUKE_BENCH_SECONDS, VUKE_BENCH_STAGES (comma list).
 """
 
 import json
 import os
+import subprocess
 import sys
+import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vuke_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 # Peak bf16 TFLOP/s per chip, used to scale the v5p-8 north-star target to
 # whatever hardware the driver actually runs on (public TPU spec sheets).
@@ -24,41 +38,89 @@ _PEAK_TFLOPS = {
 _V5P8_PEAK = 4 * 459.0  # v5p-8 = 4 dual-core chips
 
 
-def _local_peak_tflops():
-    import jax
-    total = 0.0
-    for d in jax.devices():
-        kind = getattr(d, "device_kind", "").lower()
-        per_chip = 197.0  # conservative default (v5e)
-        for name, tf in sorted(_PEAK_TFLOPS.items(), key=lambda kv: -len(kv[0])):
-            if name in kind:
-                per_chip = tf
-                break
-        total += per_chip
-    return total or 197.0
+def _peak_tflops(device_kind: str, n_devices: int) -> float:
+    kind = (device_kind or "").lower()
+    per_chip = 197.0  # conservative default (v5e)
+    for name, tf in sorted(_PEAK_TFLOPS.items(), key=lambda kv: -len(kv[0])):
+        if name in kind:
+            per_chip = tf
+            break
+    return per_chip * max(1, n_devices)
 
 
-def main():
-    # 2^18 beats 2^20 on the v5e (5.82M/s vs 5.58M/s) and more than halves
-    # the uncached fused-pipeline compile (total wall 9.5 min vs 20 min).
-    batch = int(os.environ.get("VUKE_BENCH_BATCH", 1 << 18))
-    measure_s = float(os.environ.get("VUKE_BENCH_SECONDS", 10.0))
-    from vuke_tpu.benchmark import bench_derive
-    r = bench_derive(batch=batch, warmup_s=3.0, measure_s=measure_s,
-                     inv_chunk=int(os.environ.get("VUKE_BENCH_INV_CHUNK", 256)))
-    value = r["derivations_per_sec"]
-    # BASELINE.json north star: >=100M derivations/s on a v5p-8.  The driver
-    # runs this on whatever chips are local (here: one v5e), so the target is
-    # scaled by peak-compute ratio to keep vs_baseline hardware-comparable.
-    baseline = 100e6 * _local_peak_tflops() / _V5P8_PEAK
+def _run_stage(mode: str, timeout_s: float):
+    """Run one benchmark stage as a subprocess; returns its result dict."""
+    print(f"[bench] stage '{mode}' (timeout {timeout_s:.0f}s)...",
+          file=sys.stderr, flush=True)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "vuke_tpu._bench_stage", mode],
+            cwd=_REPO, timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] stage '{mode}' timed out", file=sys.stderr, flush=True)
+        return None
+    sys.stderr.write(proc.stderr[-4000:])
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    print(f"[bench] stage '{mode}' produced no result (rc={proc.returncode})",
+          file=sys.stderr, flush=True)
+    return None
+
+
+def _emit(result):
+    value = result["derivations_per_sec"]
+    peak = _peak_tflops(result.get("device_kind", ""), result.get("n_devices", 1))
+    baseline = 100e6 * peak / _V5P8_PEAK
     print(json.dumps({
         "metric": "seed_to_hash160_derivations_per_sec",
         "value": value,
         "unit": "derivations/s",
         "vs_baseline": value / baseline,
         "baseline_note": f"100M/s v5p-8 target scaled to local peak "
-                         f"({_local_peak_tflops():.0f} TF vs {_V5P8_PEAK:.0f} TF)",
-    }))
+                         f"({peak:.0f} TF vs {_V5P8_PEAK:.0f} TF); "
+                         f"mode={result.get('mode')}",
+    }), flush=True)
+
+
+def main():
+    budget = float(os.environ.get("VUKE_BENCH_BUDGET_S", 1500.0))
+    t0 = time.time()
+    stages = os.environ.get("VUKE_BENCH_STAGES", "xla,tiled").split(",")
+
+    best = None
+    for i, mode in enumerate(s.strip() for s in stages if s.strip()):
+        elapsed = time.time() - t0
+        remaining = budget - elapsed - 30.0
+        if best is not None and remaining < 240.0:
+            print(f"[bench] skipping '{mode}': {remaining:.0f}s left",
+                  file=sys.stderr, flush=True)
+            break
+        # first stage gets a capped slice so a pathological compile can't
+        # eat the whole window before any number is printed
+        timeout_s = min(remaining, 700.0) if best is None and i == 0 else remaining
+        r = _run_stage(mode, max(timeout_s, 120.0))
+        if r is None:
+            continue
+        if best is None or r["derivations_per_sec"] > best["derivations_per_sec"]:
+            best = r
+            _emit(best)
+
+    if best is None:
+        # last resort: tiny in-process run so the driver gets *a* number
+        os.environ["VUKE_BENCH_BATCH"] = str(1 << 14)
+        os.environ["VUKE_BENCH_SECONDS"] = "5"
+        r = _run_stage("xla", 600.0)
+        if r is not None:
+            _emit(r)
+        else:
+            print(json.dumps({
+                "metric": "seed_to_hash160_derivations_per_sec",
+                "value": 0.0, "unit": "derivations/s", "vs_baseline": 0.0,
+                "baseline_note": "all bench stages failed",
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,19 +1,56 @@
 """Test configuration.
 
-Tests run on the default backend — in this image that is the single axon
-TPU chip (a sitecustomize hook preimports jax and registers the TPU, so the
-platform cannot be switched by env vars afterwards).  Compiles route through
-the remote-compile service and are cached persistently across runs.
+Two tiers:
 
-Multi-device sharding semantics are tested in a *subprocess* with an
-8-device CPU host platform (tests/test_sharding.py) to keep the giant ECC
-graphs off the slow CPU LLVM pipeline.
+- Default: tests run on the default backend — in this image that is the
+  single axon TPU chip (a sitecustomize hook preimports jax and registers
+  the TPU; compiles route through the remote-compile service and are cached
+  persistently across runs).
+- Fast tier: ``VUKE_TEST_PLATFORM=cpu`` (what ``make test-fast`` sets)
+  switches the whole process to the CPU host platform with 8 virtual
+  devices *before* any backend initialization.  Tests marked
+  ``tpu_only`` are skipped there; everything else runs in seconds.
+
+Multi-device sharding semantics are additionally tested in a *subprocess*
+with an 8-device CPU host platform (tests/test_sharding.py) to keep the
+giant ECC graphs off the slow CPU LLVM pipeline.
 
 NOTE: the TPU is a single shared device — never run two JAX processes
 concurrently (device grants serialize and everything looks hung).
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vuke_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from vuke_tpu._cache import enable_compile_cache
+
+enable_compile_cache()
+
+_CPU = os.environ.get("VUKE_TEST_PLATFORM", "") == "cpu"
+if _CPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu_only: needs the real TPU (Pallas/Mosaic kernels)")
+    config.addinivalue_line(
+        "markers", "slow: long-running even on TPU (full sweeps, big compiles)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _CPU:
+        return
+    skip = pytest.mark.skip(reason="tpu_only test on VUKE_TEST_PLATFORM=cpu")
+    for item in items:
+        if "tpu_only" in item.keywords:
+            item.add_marker(skip)

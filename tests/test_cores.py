@@ -301,3 +301,30 @@ def test_u64_ops():
     np.testing.assert_array_equal(
         np.asarray(common.mul_hi32(jnp.asarray(al), jnp.asarray(bl))),
         ((al.astype(np.uint64) * bl.astype(np.uint64)) >> np.uint64(32)).astype(np.uint32))
+
+
+def test_mt19937_deep_keystream_past_twist_boundary():
+    """Cascades with >28 keys need outputs past index 226, where the raw
+    init-recurrence stops being the sequence — the full twist must kick in
+    (ADVICE r1: silent wrong keystream for >28 cascade targets)."""
+    seed = 777
+    n_keys = 40                      # 320 outputs: crosses k=624 state index
+    words = np.asarray(mt19937.milksad_key_words(
+        np.array([seed], dtype=np.uint32), n_keys=n_keys))[0]
+    rng = oracles.MT19937(seed)
+    for k in range(n_keys):
+        expect = rng.fill_bytes(32)
+        got = b"".join(int(w).to_bytes(4, "big") for w in words[k])
+        assert got == expect, f"key {k} diverged"
+
+
+def test_mt19937_64_deep_keystream_past_twist_boundary():
+    seed = 0xDEADBEEFCAFEBABE
+    hi = np.array([seed >> 32], dtype=np.uint32)
+    lo = np.array([seed & 0xFFFFFFFF], dtype=np.uint32)
+    oh, ol = mt19937.mt19937_64_outputs(hi, lo, n_out=200)  # > 155
+    oh, ol = np.asarray(oh), np.asarray(ol)
+    rng = oracles.MT19937_64(seed)
+    for i in range(200):
+        v = rng.next_u64()
+        assert (int(oh[0, i]) << 32) | int(ol[0, i]) == v, f"output {i}"

@@ -141,3 +141,59 @@ def test_tail_batch_masking(deriver):
     assert len(lines) == 37
     assert lines[0].startswith("100,")
     assert lines[-1].startswith("136,")
+
+
+def test_hit_overflow_batch_loses_none(deriver):
+    """>256 device hits in one superbatch must all be confirmed (r1 VERDICT:
+    MAX_HITS_PER_BATCH truncation silently dropped hits)."""
+    n_plant = 300  # > MAX_HITS_PER_BATCH=256, all inside one 512-batch
+    addrs = []
+    for s in range(1, n_plant + 1):
+        key = s.to_bytes(32, "big")     # direct transform 'be' slot
+        addrs.append(_plant_address(key, deriver))
+
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    matcher = Matcher.from_addresses(addrs)
+    spec = parse_transform("direct")
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=8)
+    stats = driver.run_range(1, 512)
+    assert stats.matches_found == n_plant
+
+
+def test_all_unparseable_targets_scan_does_not_crash(deriver):
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    matcher = Matcher.from_addresses(["not-an-address", "# nonsense"])
+    spec = parse_transform("milksad")
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=256, inv_chunk=8)
+    stats = driver.run_range(1, 600)
+    assert stats.inputs_processed == 600
+    assert stats.matches_found == 0
+
+
+def test_process_blob_applies_each_string_transform_once(deriver):
+    """Two non-blob string transforms on one file input must each run exactly
+    once (ADVICE r1: N^2 duplicate processing in process_blob)."""
+    specs = [parse_transform("sha256"), parse_transform("md5")]
+    n_slots = sum(len(s.string.slots) for s in specs)
+
+    class CountingOutput:
+        def __init__(self):
+            self.keys = []
+
+        def key(self, source, transform, derived):
+            self.keys.append((source, transform))
+
+        def hit(self, *a):
+            pass
+
+        def flush(self):
+            pass
+
+    out = CountingOutput()
+    driver = StringDriver(specs, None, out, deriver)
+    stats = driver.process_blob(b"some file bytes", "dir/file.txt")
+    assert stats.keys_generated == n_slots
+    assert len(out.keys) == n_slots
+    assert len(set(out.keys)) == n_slots

@@ -118,6 +118,9 @@ def _source_commands(group, runner):
               help="Run on the CPU backend (the reference's --no-gpu analogue)")
 def cli(no_tpu):
     """TPU-native weak-Bitcoin-key search framework (vuke capability surface)."""
+    from ._cache import enable_compile_cache
+
+    enable_compile_cache()
     if no_tpu:
         import jax
         try:

@@ -46,10 +46,19 @@ def mt19937_outputs(seeds, n_out: int = 8):
         cur = _F32 * (prev ^ (prev >> np.uint32(30))) + i
         return cur, cur
 
-    idx = jnp.arange(1, n_state, dtype=jnp.uint32)
+    n_init = min(n_state, 624)
+    idx = jnp.arange(1, n_init, dtype=jnp.uint32)
     _, rest = jax.lax.scan(init_step, seeds, idx, unroll=64)
-    # state: list of (N,) arrays, index 0..n_state-1
-    state = [seeds] + [rest[i] for i in range(n_state - 1)]
+    # state: list of (N,) arrays holding the true MT sequence s[k]
+    state = [seeds] + [rest[i] for i in range(n_init - 1)]
+    # Raw init-recurrence values are only the sequence for k < 624; beyond
+    # that, extend with the real twist: s[k] = s[k-227] ^ twistbits(
+    # s[k-624], s[k-623]) — so outputs past index 226 (cascades with >28
+    # targets) stay bit-exact with rand_mt.
+    for k in range(624, n_state):
+        y = (state[k - 624] & _UPPER) | (state[k - 623] & _LOWER)
+        state.append(state[k - 227] ^ (y >> np.uint32(1))
+                     ^ jnp.where((y & 1) != 0, _MATRIX_A, np.uint32(0)))
 
     outs = []
     for i in range(n_out):
@@ -113,9 +122,19 @@ def mt19937_64_outputs(seeds_hi, seeds_lo, n_out: int = 4):
         x = (x[0] + (x[1] < i).astype(jnp.uint32), x[1])
         return x, x
 
-    idx = jnp.arange(1, n_state, dtype=jnp.uint32)
+    n_init = min(n_state, 312)
+    idx = jnp.arange(1, n_init, dtype=jnp.uint32)
     _, rest = jax.lax.scan(init_step, (seeds_hi, seeds_lo), idx, unroll=32)
-    state = [(seeds_hi, seeds_lo)] + [(rest[0][i], rest[1][i]) for i in range(n_state - 1)]
+    state = [(seeds_hi, seeds_lo)] + [(rest[0][i], rest[1][i]) for i in range(n_init - 1)]
+    # True twist past the 312-word init block (outputs beyond index 155 —
+    # mt64 cascades with >38 targets): s[k] = s[k-156] ^ twistbits(
+    # s[k-312], s[k-311]).
+    for k in range(312, n_state):
+        y = u64_or(u64_and(state[k - 312], _UPPER64),
+                   u64_and(state[k - 311], _LOWER64))
+        mag = jnp.where((y[1] & 1) != 0, np.uint32(1), np.uint32(0))
+        mag = (mag * _MATRIX_A64[0], mag * _MATRIX_A64[1])
+        state.append(u64_xor(u64_xor(state[k - 156], u64_shr(y, 1)), mag))
 
     outs_hi, outs_lo = [], []
     for i in range(n_out):

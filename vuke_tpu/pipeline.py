@@ -55,12 +55,17 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: int):
+def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: int,
+                full_mask: bool = False):
     """Module-level cache of the compiled derive+match program.
 
     Target pools enter as *arguments* (padded to power-of-two shapes) so
     different target sets share one compilation — both in-process (this
-    cache) and in the backend compile cache (stable HLO)."""
+    cache) and in the backend compile cache (stable HLO).
+
+    ``full_mask`` builds the rare-path variant returning the whole (N,)
+    match mask — used only when a batch's hit count overflows
+    MAX_HITS_PER_BATCH, so no hit is ever silently dropped."""
 
     def fn(keys, valid, chi, clo, uhi, ulo):
         norm = normalize_scalar(keys)
@@ -72,9 +77,12 @@ def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: i
             m = (DeviceTargetSet._lookup(chi, clo, win_c, *fc)
                  | DeviceTargetSet._lookup(uhi, ulo, win_u, *fu))
             m = m & valid
-            out["count"] = m.sum()
-            out["hit_idx"] = jnp.nonzero(m, size=MAX_HITS_PER_BATCH,
-                                         fill_value=2**31 - 1)[0]
+            if full_mask:
+                out["mask"] = m
+            else:
+                out["count"] = m.sum()
+                out["hit_idx"] = jnp.nonzero(m, size=MAX_HITS_PER_BATCH,
+                                             fill_value=2**31 - 1)[0]
         if collect:
             out["keys"] = norm
             out["h160c"] = d["h160c"]
@@ -95,10 +103,10 @@ class DeriveMatcher:
         self.targets = targets
         self.collect_keys = collect_keys
         self.inv_chunk = inv_chunk
-        match = targets is not None and not targets.empty
-        win_c, win_u = targets.windows if match else (4, 4)
-        self._fn = _dm_program(match, collect_keys, inv_chunk, win_c, win_u)
-        if match:
+        self.match = targets is not None and not targets.empty
+        self._windows = targets.windows if self.match else (4, 4)
+        self._fn = _dm_program(self.match, collect_keys, inv_chunk, *self._windows)
+        if self.match:
             self._pool_args = targets.device_args()
         else:
             z = jnp.zeros(4, dtype=jnp.uint32)
@@ -107,16 +115,20 @@ class DeriveMatcher:
     def run(self, keys, valid):
         return self._fn(keys, valid, *self._pool_args)
 
-
-_KEYGEN_CACHE: dict = {}
+    def run_mask(self, keys, valid):
+        """Rare path: full (N,) match mask for overflowed batches."""
+        fn = _dm_program(self.match, False, self.inv_chunk, *self._windows,
+                         full_mask=True)
+        return fn(keys, valid, *self._pool_args)["mask"]
 
 
 def _keygen_program(nt):
-    """Per-NumericTransform jitted keygen, cached by transform object id so
-    repeated driver construction reuses the compiled program.  Transforms
-    marked ``host_only`` (EC-heavy wallet derivations) run eagerly on host.
+    """Per-NumericTransform jitted keygen, cached *on the transform object*
+    (a dead object's id can be reused by a fresh spec, so an id-keyed dict
+    could serve a stale compiled closure).  Transforms marked ``host_only``
+    (EC-heavy wallet derivations) run eagerly on host.
     """
-    fn = _KEYGEN_CACHE.get(id(nt))
+    fn = getattr(nt, "_compiled_batch", None)
     if fn is None:
         def keygen(start_hi, start_lo, limit, offs):
             hi, lo = _seed_lattice(start_hi, start_lo, offs)
@@ -135,7 +147,7 @@ def _keygen_program(nt):
                 return jnp.asarray(keys), jnp.asarray(valid)
         else:
             fn = jax.jit(keygen)
-        _KEYGEN_CACHE[id(nt)] = fn
+        nt._compiled_batch = fn
     return fn
 
 
@@ -201,11 +213,22 @@ class ForwardDriver:
     # -- hit confirmation ---------------------------------------------------
 
     def _confirm_hits(self, spec: TransformSpec, start: int, slot_i: int,
-                      result) -> int:
+                      result, prog=None, n=None) -> int:
+        if "count" not in result:   # matcher present but no parseable targets
+            return 0
         count = int(result["count"])
         if count == 0:
             return 0
-        idx = np.asarray(result["hit_idx"])[:count]
+        if count > MAX_HITS_PER_BATCH and prog is not None:
+            # Overflowed the compacted index buffer: recompute the full match
+            # mask for this batch (rare path) so no hit is dropped.
+            keys, valid = prog._keygen(
+                jnp.uint32(start >> 32), jnp.uint32(start & 0xFFFFFFFF),
+                jnp.uint32(n if n is not None else self.batch), prog._offsets)
+            mask = np.asarray(self.dm.run_mask(keys[:, slot_i, :], valid[:, slot_i]))
+            idx = np.nonzero(mask)[0]
+        else:
+            idx = np.asarray(result["hit_idx"])[:count]
         matches = 0
         for i in idx:
             seed = start + int(i)
@@ -222,14 +245,13 @@ class ForwardDriver:
     def _derive_seed_slot(self, spec: TransformSpec, seed: int, slot_i: int):
         """Recompute one key from (seed, slot) on a singleton batch — a
         single source of truth for transform semantics."""
-        key = ("single", id(spec.numeric))
-        fn = _KEYGEN_CACHE.get(key)
+        fn = getattr(spec.numeric, "_compiled_single", None)
         if fn is None:
             if getattr(spec.numeric, "host_only", False):
                 fn = spec.numeric.fn
             else:
                 fn = jax.jit(spec.numeric.fn)
-            _KEYGEN_CACHE[key] = fn
+            spec.numeric._compiled_single = fn
         hi = jnp.asarray(np.array([seed >> 32], dtype=np.uint32))
         lo = jnp.asarray(np.array([seed & 0xFFFFFFFF], dtype=np.uint32))
         keys, valid = fn(hi, lo)
@@ -248,22 +270,24 @@ class ForwardDriver:
             if pos <= end:
                 n = min(self.batch, end - pos + 1)
                 for spec, prog in zip(self.specs, self.programs):
-                    pending.append((spec, pos, n, prog.run(pos, n)))
+                    pending.append((spec, prog, pos, n, prog.run(pos, n)))
                 pos += self.batch
             while len(pending) > len(self.programs) or (pos > end and pending):
-                spec, bstart, n, results = pending.pop(0)
-                stats.merge(self._consume(spec, bstart, n, results))
+                spec, prog, bstart, n, results = pending.pop(0)
+                stats.merge(self._consume(spec, bstart, n, results, prog=prog))
                 if self.progress is not None:
                     self.progress.advance(n)
         self.output.flush()
         return stats
 
-    def _consume(self, spec: TransformSpec, bstart: int, n: int, results) -> ProcessStats:
+    def _consume(self, spec: TransformSpec, bstart: int, n: int, results,
+                 prog=None) -> ProcessStats:
         s = ProcessStats(inputs_processed=n)
         for slot_i, result in enumerate(results):
             s.keys_generated += int(result["n_valid"])
             if self.matcher is not None:
-                s.matches_found += self._confirm_hits(spec, bstart, slot_i, result)
+                s.matches_found += self._confirm_hits(spec, bstart, slot_i, result,
+                                                      prog=prog, n=n)
         if self.matcher is None and self.output is not None:
             self._emit_generate(spec, bstart, n, results)
         return s
@@ -341,15 +365,23 @@ class StringDriver:
 
     def process_blob(self, data: bytes, label: str) -> ProcessStats:
         """Single blob input (FilesSource): runs blob-capable transforms
-        (bitimage) on file bytes; others see the label string only."""
+        (bitimage) on file bytes; others see the label string only.
+
+        Non-blob specs go through ONE process_batch call restricted to that
+        subset, so each transform is applied exactly once per file
+        (/root/reference/src/source/files.rs:106-111)."""
         stats = ProcessStats()
+        non_blob = [s for s in self.specs
+                    if s.string is not None and getattr(s.string, "blob_fn", None) is None]
+        if non_blob:
+            stats.merge(self.process_batch([label], specs=non_blob))
+            stats.inputs_processed = 0  # counted once by the caller per file
         for spec in self.specs:
             st = spec.string
             if st is None:
                 continue
             blob_fn = getattr(st, "blob_fn", None)
             if blob_fn is None:
-                stats.merge(self.process_batch([label]))
                 continue
             keys = blob_fn([(data, label)])
             valid = blob_fn.last_valid
@@ -369,11 +401,12 @@ class StringDriver:
                     self.output.key(source, spec.name, derived)
         return stats
 
-    def process_batch(self, strings: Sequence[str]) -> ProcessStats:
+    def process_batch(self, strings: Sequence[str],
+                      specs: Optional[Sequence[TransformSpec]] = None) -> ProcessStats:
         stats = ProcessStats(inputs_processed=len(strings))
         if not strings:
             return stats
-        for spec in self.specs:
+        for spec in (self.specs if specs is None else specs):
             st = spec.string
             if st is None:
                 continue
