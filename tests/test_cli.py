@@ -81,3 +81,35 @@ def test_help_surfaces(runner):
     for cmd in ([], ["generate"], ["scan"], ["analyze"], ["query"], ["bench"]):
         r = runner.invoke(cli, cmd + ["--help"])
         assert r.exit_code == 0
+
+
+def test_scan_checkpoint_manifest(runner, tmp_path):
+    """scan --checkpoint writes a manifest covering the whole range; a rerun
+    with the same manifest reprocesses nothing."""
+    import json as _json
+    import os
+
+    targets = tmp_path / "targets.txt"
+    targets.write_text("1BitcoinEaterAddressDontSendf59kuE\n")
+    ckpt = tmp_path / "scan.json"
+    args = ["scan", "--transform", "direct", "--batch", "256",
+            "--checkpoint", str(ckpt), "--targets", str(targets),
+            "range", "--start", "1", "--end", "600"]
+    r = runner.invoke(cli, args)
+    assert r.exit_code == 0, r.output
+    data = _json.loads(ckpt.read_text())
+    assert data["completed"] == [[1, 600]]
+
+    r2 = runner.invoke(cli, args)
+    assert r2.exit_code == 0, r2.output
+    assert "Inputs: 0," in r2.output  # fully resumed
+
+
+def test_generate_output_file_closed(runner, tmp_path):
+    out_path = tmp_path / "keys.txt"
+    r = runner.invoke(cli, ["generate", "--transform", "direct", "--batch", "256",
+                            "-o", str(out_path),
+                            "range", "--start", "1", "--end", "10"])
+    assert r.exit_code == 0, r.output
+    lines = [l for l in out_path.read_text().splitlines() if l]
+    assert len(lines) == 30  # direct emits be/le/string slots per seed

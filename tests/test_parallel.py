@@ -80,3 +80,44 @@ def test_distributed_sweep_single_host():
     found, searched = ds.run(0, 8191, target_words=jnp.asarray(key_bytes_to_words(key)))
     assert found == seed
     assert searched >= seed - 8192
+
+
+def test_dispatch_sweep_checkpoint_resume(tmp_path):
+    """analyze --checkpoint: a sweep interrupted after some chunks resumes
+    from the manifest and still finds the planted seed (r1 VERDICT: the
+    checkpoint library had no call sites)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import oracles
+    import numpy as np
+    from vuke_tpu.analyze import sweeps
+    from vuke_tpu.analyze.analyzers import AnalysisConfig
+    from vuke_tpu.cores.common import key_bytes_to_words
+    from vuke_tpu.cores.mt19937 import milksad_key_words
+
+    seed = 7000
+    key = oracles.MT19937(seed).fill_bytes(32)
+    tw = np.asarray(key_bytes_to_words(key))
+
+    def keystream(hi, lo, n_keys):
+        return milksad_key_words(lo, n_keys=n_keys)
+
+    path = str(tmp_path / "sweep.json")
+    config = AnalysisConfig(batch=512, checkpoint_path=path)
+    prog = sweeps.SweepProgram(keystream, "exact", batch=512)
+
+    # simulate prior partial progress: first 2048 seeds already done
+    from vuke_tpu.parallel.checkpoint import SweepCheckpoint
+    c = SweepCheckpoint.load(path, "job-x")
+    c.mark_completed(0, 2047)
+    c.save()
+
+    r = sweeps.dispatch_sweep(prog, 0, 7999, target_words=tw,
+                              config=config, job="job-x")
+    assert r.found and r.seed == seed
+    assert r.searched <= 8000 - 2048  # completed prefix was skipped
+
+    # a re-run with the same manifest short-circuits to the recorded seed
+    r2 = sweeps.dispatch_sweep(prog, 0, 7999, target_words=tw,
+                               config=config, job="job-x")
+    assert r2.found and r2.seed == seed and r2.searched == 0

@@ -113,3 +113,67 @@ def test_provider_resolve(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="Unknown collection"):
         provider.resolve("boha:nope")
     provider._DATASET._collections = None
+
+
+# --- string transforms over numeric sources (r1 VERDICT missing #2) --------
+
+def _electrum_plant(ts: int, index: int = 3):
+    """Host-oracle: electrum key for the decimal string of a timestamp."""
+    from vuke_tpu.derive import KeyDeriver
+    from vuke_tpu.wallets.electrum import ElectrumDeriver
+    d = ElectrumDeriver.from_hex_seed(str(ts))
+    key = d.derive_key(index)
+    return key, KeyDeriver().derive(key)
+
+
+def test_electrum_over_timestamps_recovers_planted_key():
+    """`scan --transform electrum timestamps` must derive keys from the
+    decimal timestamp string (transform/input.rs:22-30 + electrum.rs:44-66):
+    numeric-only routing silently produced nothing in round 1."""
+    import io
+
+    from vuke_tpu.derive import KeyDeriver
+    from vuke_tpu.matcher import Matcher
+    from vuke_tpu.output import ConsoleOutput
+    from vuke_tpu.pipeline import ForwardDriver, StringDriver
+
+    ts = 1231006505  # genesis-block timestamp
+    key, derived = _electrum_plant(ts, index=3)
+
+    deriver = KeyDeriver()
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    matcher = Matcher.from_addresses([derived.p2pkh_uncompressed])
+    spec = parse_transform("electrum")
+    fwd = ForwardDriver([spec], matcher, out, deriver, batch=256, inv_chunk=8)
+    sd = StringDriver([spec], matcher, out, deriver, inv_chunk=8)
+    stats = TimestampSource(ts - 1, ts + 1).process(fwd, sd)
+
+    assert stats.inputs_processed == 3
+    assert stats.matches_found == 1
+    text = buf.getvalue()
+    assert f"Source: {ts}[0/3]" in text
+    assert derived.p2pkh_uncompressed in text
+
+
+def test_electrum_over_range_generate_emits_keys():
+    import io
+
+    from vuke_tpu.derive import KeyDeriver
+    from vuke_tpu.output import ConsoleOutput
+    from vuke_tpu.pipeline import ForwardDriver, StringDriver
+
+    deriver = KeyDeriver()
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    spec = parse_transform("electrum")
+    fwd = ForwardDriver([spec], None, out, deriver, batch=256, inv_chunk=8)
+    sd = StringDriver([spec], None, out, deriver, inv_chunk=8)
+    stats = RangeSource(100, 101).process(fwd, sd)
+
+    assert stats.inputs_processed == 2
+    assert stats.keys_generated == 40  # 20 derivations per seed string
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert len(lines) == 40
+    key, derived = _electrum_plant(100, index=0)
+    assert lines[0] == f"100[0/0],electrum,{key.hex()},{derived.p2pkh_compressed}"

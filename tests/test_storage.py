@@ -212,3 +212,45 @@ def test_iceberg_catalog_flow(tmp_path, derived):
     assert metas[0].record_count == 3
     assert metas[0].transform == "milksad"
     assert metas[0].timestamp_day is not None
+
+
+def test_multipart_split_streams_parts(tmp_path):
+    """Files over the threshold must upload as multiple streamed parts
+    (s3.rs:89-167 WriteMultipart parity; r1 shipped single whole-file PUTs)."""
+    big = tmp_path / "big.parquet"
+    payload = os.urandom(1024) * 10  # 10 KB
+    big.write_bytes(payload)
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"tiny")
+
+    up = InMemoryUploader(part_size=4096, multipart_threshold=8192)
+    cfg = CloudConfig(bucket="b")
+    uploaded, failed = sync_files(up, [str(big), str(small)], str(tmp_path), cfg)
+    assert not failed
+    assert up.multipart_parts["big.parquet"] == 3  # 10240 / 4096 -> 3 parts
+    assert "small.parquet" not in up.multipart_parts
+    assert up.objects["big.parquet"] == payload
+    assert up.objects["small.parquet"] == b"tiny"
+
+
+def test_iceberg_registration_carries_real_stats(tmp_path, derived):
+    """The CLI tail must register non-zero size/record-count per file
+    (main.rs:1144-1266; r1 registered zeros)."""
+    from vuke_tpu.storage.iceberg import join_uploaded_metadata, stat_local_files
+
+    backend = ParquetBackend(tmp_path)
+    backend.write_batch(_records(derived, 5))
+    paths = backend.close()
+
+    by_key = stat_local_files(paths, str(tmp_path))
+    up = InMemoryUploader()
+    uploaded, failed = sync_files(up, paths, str(tmp_path),
+                                  CloudConfig(bucket="b", delete_local=True))
+    assert not failed and not os.path.exists(paths[0])
+
+    metas = join_uploaded_metadata(by_key, uploaded, endpoint=None)
+    assert len(metas) == len(uploaded)
+    assert metas[0].record_count == 5
+    assert metas[0].file_size > 0
+    assert metas[0].transform == "milksad"
+    assert metas[0].uri.startswith("s3://test-bucket/")

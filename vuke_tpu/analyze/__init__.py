@@ -74,9 +74,10 @@ def run_analyze(key_str: str, fast: bool = False, mask: Optional[int] = None,
                 chain_depth: int = 10, puzzle: Optional[str] = None,
                 verify: Optional[str] = None, as_json: bool = False,
                 batch: int = 1 << 20, max_seeds: Optional[int] = None,
-                out=None):
+                checkpoint: Optional[str] = None, out=None):
     out = out if out is not None else sys.stdout
-    config = AnalysisConfig(mask_bits=mask, batch=batch, max_seeds=max_seeds)
+    config = AnalysisConfig(mask_bits=mask, batch=batch, max_seeds=max_seeds,
+                            checkpoint_path=checkpoint)
 
     from .. import provider as provider_mod
 
@@ -117,11 +118,19 @@ def run_analyze(key_str: str, fast: bool = False, mask: Optional[int] = None,
     else:
         selected = all_analyzers()
 
+    from ..progress import Progress
+    from ..telemetry import profile_trace
+
     results = []
-    for analyzer in selected:
-        if analyzer.is_brute_force:
-            print(f"Running {analyzer.name} (brute-force)...", file=sys.stderr)
-        results.append(analyzer.analyze(key, config))
+    with profile_trace():
+        for analyzer in selected:
+            progress = None
+            if analyzer.is_brute_force:
+                print(f"Running {analyzer.name} (brute-force)...", file=sys.stderr)
+                progress = Progress(label=analyzer.name)
+            results.append(analyzer.analyze(key, config, progress=progress))
+            if progress is not None:
+                progress.finish()
 
     metadata = KeyMetadata.from_key(key)
     if as_json:

@@ -51,6 +51,9 @@ class AnalysisConfig:
     # TPU-specific: bound open-ended 2^64 sweeps (None = unbounded, as ref)
     max_seeds: Optional[int] = None
     batch: int = sweeps.DEFAULT_SWEEP_BATCH
+    # durable sweep progress: manifest path for checkpoint/resume
+    # (parallel/checkpoint.py; exceeds the reference, which restarts from 0)
+    checkpoint_path: Optional[str] = None
 
 
 def calculate_bit_length(key: bytes) -> int:
@@ -97,8 +100,10 @@ class MilksadAnalyzer:
             prog = sweeps.SweepProgram(self._keystream, "cascade",
                                        cascade=config.cascade_targets,
                                        batch=config.batch)
-            r = sweeps.sweep(prog, 0, total - 1, progress=progress,
-                             max_seeds=config.max_seeds)
+            r = sweeps.dispatch_sweep(
+                prog, 0, total - 1, progress=progress,
+                max_seeds=config.max_seeds, config=config,
+                job=f"milksad:cascade:{_cascade_desc(config.cascade_targets)}")
             if r.found:
                 kw = np.asarray(milksad_key_words(
                     np.array([r.seed], dtype=np.uint32), n_keys=1))[0, 0]
@@ -114,8 +119,10 @@ class MilksadAnalyzer:
             target = apply_mask(key, bits)
             prog = sweeps.SweepProgram(self._keystream, "mask",
                                        mask=(bits, target), batch=config.batch)
-            r = sweeps.sweep(prog, 0, total - 1, progress=progress,
-                             max_seeds=config.max_seeds)
+            r = sweeps.dispatch_sweep(
+                prog, 0, total - 1, progress=progress,
+                max_seeds=config.max_seeds, config=config,
+                job=f"milksad:mask{bits}:{target:x}")
             if r.found:
                 kw = np.asarray(milksad_key_words(
                     np.array([r.seed], dtype=np.uint32), n_keys=1))[0, 0]
@@ -131,8 +138,9 @@ class MilksadAnalyzer:
                                   f"checked {r.searched} seeds with {bits}-bit mask")
         prog = sweeps.SweepProgram(self._keystream, "exact", batch=config.batch)
         tw = np.asarray(key_bytes_to_words(key))
-        r = sweeps.sweep(prog, 0, total - 1, target_words=tw, progress=progress,
-                         max_seeds=config.max_seeds)
+        r = sweeps.dispatch_sweep(prog, 0, total - 1, target_words=tw,
+                                  progress=progress, max_seeds=config.max_seeds,
+                                  config=config, job=f"milksad:exact:{key.hex()}")
         if r.found:
             return AnalysisResult(self.name, AnalysisStatus.CONFIRMED,
                                   f"seed = {r.seed}")
@@ -171,9 +179,10 @@ class Mt64Analyzer:
         prog = sweeps.SweepProgram(self._keystream, "cascade",
                                    cascade=config.cascade_targets,
                                    batch=config.batch, track_first_filter=True)
-        r = sweeps.sweep(prog, 0, 2**64 - 1, progress=progress,
-                         max_seeds=config.max_seeds)
         desc = _cascade_desc(config.cascade_targets)
+        r = sweeps.dispatch_sweep(prog, 0, 2**64 - 1, progress=progress,
+                                  max_seeds=config.max_seeds, config=config,
+                                  job=f"mt64:cascade:{desc}")
         if r.found:
             return AnalysisResult(self.name, AnalysisStatus.CONFIRMED,
                                   f"seed = {r.seed}, cascade=[{desc}]")
@@ -209,8 +218,10 @@ class LcgAnalyzer:
                 target = apply_mask(key, bits)
                 prog = sweeps.SweepProgram(keystream, "mask", mask=(bits, target),
                                            batch=config.batch)
-                r = sweeps.sweep(prog, 0, space_end, progress=progress,
-                                 max_seeds=config.max_seeds)
+                r = sweeps.dispatch_sweep(
+                    prog, 0, space_end, progress=progress,
+                    max_seeds=config.max_seeds, config=config,
+                    job=f"lcg:{v.name}:{endian}:mask{bits}:{target:x}")
                 if r.found:
                     kb = self._key_for_seed(r.seed, v)
                     mask = (1 << bits) - 1 if bits < 64 else (1 << 64) - 1
@@ -223,8 +234,10 @@ class LcgAnalyzer:
             else:
                 prog = sweeps.SweepProgram(keystream, "exact", batch=config.batch)
                 tw = np.asarray(key_bytes_to_words(key))
-                r = sweeps.sweep(prog, 0, space_end, target_words=tw,
-                                 progress=progress, max_seeds=config.max_seeds)
+                r = sweeps.dispatch_sweep(
+                    prog, 0, space_end, target_words=tw, progress=progress,
+                    max_seeds=config.max_seeds, config=config,
+                    job=f"lcg:{v.name}:{endian}:exact:{key.hex()}")
                 if r.found:
                     return AnalysisResult(
                         self.name, AnalysisStatus.CONFIRMED,
@@ -263,8 +276,11 @@ class XorshiftAnalyzer:
             prog = sweeps.SweepProgram(xs_core.KEYSTREAM_FNS[vname], "cascade",
                                        cascade=config.cascade_targets,
                                        batch=config.batch)
-            r = sweeps.sweep(prog, 0, 2**64 - 1, progress=progress,
-                             max_seeds=config.max_seeds)
+            r = sweeps.dispatch_sweep(
+                prog, 0, 2**64 - 1, progress=progress,
+                max_seeds=config.max_seeds, config=config,
+                job=f"xorshift:{vname}:cascade:"
+                    f"{_cascade_desc(config.cascade_targets)}")
             if r.found:
                 return AnalysisResult(
                     self.name, AnalysisStatus.CONFIRMED,
@@ -306,8 +322,11 @@ class Sha256ChainAnalyzer:
                                                 cascade=config.cascade_targets,
                                                 batch=batch)
                 dec = lambda bstart, idx: (bstart + idx, 0)
-                r = sweeps.sweep(prog, 0, 2**32 - 1, progress=progress,
-                                 max_seeds=config.max_seeds, decode=dec)
+                r = sweeps.dispatch_sweep(
+                    prog, 0, 2**32 - 1, progress=progress,
+                    max_seeds=config.max_seeds, decode=dec, config=config,
+                    job=f"sha256_chain:{v}:cascade:"
+                        f"{_cascade_desc(config.cascade_targets)}")
                 total += r.searched
                 if r.found:
                     seed, index = r.seed
@@ -321,8 +340,10 @@ class Sha256ChainAnalyzer:
                 target = apply_mask(key, bits)
                 prog = sweeps.ChainSweepProgram(v, depth, "mask",
                                                 mask=(bits, target), batch=batch)
-                r = sweeps.sweep(prog, 0, 2**32 - 1, progress=progress,
-                                 max_seeds=config.max_seeds, decode=decode)
+                r = sweeps.dispatch_sweep(
+                    prog, 0, 2**32 - 1, progress=progress,
+                    max_seeds=config.max_seeds, decode=decode, config=config,
+                    job=f"sha256_chain:{v}:mask{bits}:{target:x}")
                 total += r.searched
                 if r.found:
                     seed, index = r.seed
@@ -336,9 +357,10 @@ class Sha256ChainAnalyzer:
             else:
                 prog = sweeps.ChainSweepProgram(v, depth, "exact", batch=batch)
                 tw = np.asarray(key_bytes_to_words(key))
-                r = sweeps.sweep(prog, 0, 2**32 - 1, target_words=tw,
-                                 progress=progress, max_seeds=config.max_seeds,
-                                 decode=decode)
+                r = sweeps.dispatch_sweep(
+                    prog, 0, 2**32 - 1, target_words=tw, progress=progress,
+                    max_seeds=config.max_seeds, decode=decode, config=config,
+                    job=f"sha256_chain:{v}:exact:{key.hex()}")
                 total += r.searched
                 if r.found:
                     seed, index = r.seed

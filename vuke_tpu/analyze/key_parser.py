@@ -83,6 +83,16 @@ def parse_cascade(s: str) -> List[Tuple[int, int]]:
             target = int(target_s, 16) if target_s.lower().startswith("0x") else int(target_s)
         except ValueError:
             raise ParseError(f"invalid cascade format: bad target '{target_s}'")
+        max_value = (1 << bits) - 1 if bits < 64 else (1 << 64) - 1
+        if target > max_value:
+            raise ParseError(
+                f"invalid cascade format: target 0x{target:x} exceeds {bits}-bit "
+                f"maximum (0x{max_value:x})")
+        # high bit is a structural property of masked keys: (key & mask) | high_bit
+        if target & (1 << (bits - 1)) == 0:
+            raise ParseError(
+                f"invalid cascade format: target 0x{target:x} must have high bit "
+                f"set for {bits}-bit mask (bit {bits - 1})")
         if (bits, target) in targets:
             raise ParseError(f"invalid cascade format: duplicate target {bits}:{target}")
         targets.append((bits, target))

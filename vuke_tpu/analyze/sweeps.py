@@ -162,6 +162,40 @@ class ChainSweepProgram:
                           jnp.uint32(limit), self._offs, target_words)
 
 
+def dispatch_sweep(program, space_start: int, space_end: int, *,
+                   target_words=None, progress=None,
+                   max_seeds: Optional[int] = None, decode=None,
+                   config=None, job: str = "") -> SweepResult:
+    """Sweep with optional durable checkpointing / multi-host distribution.
+
+    - ``config.checkpoint_path`` set -> resume from / record to an atomic
+      manifest keyed by ``job`` (parallel/checkpoint.py), so a preempted
+      brute-force continues instead of restarting from zero.
+    - ``jax.process_count() > 1`` -> static per-host shard with DCN
+      early-stop (parallel/multihost.DistributedSweep).
+    - otherwise the plain pipelined early-exit sweep.
+    """
+    if max_seeds is not None:
+        space_end = min(space_end, space_start + max_seeds - 1)
+    ckpt_path = getattr(config, "checkpoint_path", None) if config is not None else None
+    if ckpt_path:
+        from ..parallel.checkpoint import SweepCheckpoint, checkpointed_sweep
+        ckpt = SweepCheckpoint.load(ckpt_path, job or "sweep")
+        return checkpointed_sweep(program, space_start, space_end, ckpt,
+                                  target_words=target_words, progress=progress,
+                                  decode=decode)
+    import jax
+    if jax.process_count() > 1:
+        from ..parallel.multihost import DistributedSweep
+        t0 = time.time()
+        seed, searched = DistributedSweep(program).run(
+            space_start, space_end, target_words=target_words,
+            progress=progress, decode=decode)
+        return SweepResult(seed is not None, seed, searched, time.time() - t0)
+    return sweep(program, space_start, space_end, target_words=target_words,
+                 progress=progress, decode=decode)
+
+
 def sweep(program, space_start: int, space_end: int,
           target_words=None, progress=None,
           max_seeds: Optional[int] = None, decode=None) -> SweepResult:

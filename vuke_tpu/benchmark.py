@@ -46,10 +46,15 @@ def _time_loop(fn, warmup_s: float, measure_s: float, depth: int = 2):
 
 def bench_transform(transform_s: str, batch: int = 1 << 16, warmup_s: float = 2.0,
                     measure_s: float = 5.0):
-    """Keygen-only rate for one transform (the reference's `vuke bench`)."""
+    """Keygen-only rate for one transform (the reference's `vuke bench`).
+
+    String-only transforms (electrum, multibit, armory) are measured over
+    decimal-string inputs, matching the reference's bench feeding every
+    transform through apply_batch (/root/reference/src/benchmark.rs:11-68)."""
     from .transforms import parse_transform
     spec = parse_transform(transform_s)
-    assert spec.numeric is not None, "bench requires a numeric transform"
+    if spec.numeric is None:
+        return _bench_string_transform(spec, batch, warmup_s, measure_s)
     offs = jnp.asarray(np.arange(batch, dtype=np.uint32))
     zero = jnp.uint32(0)
 
@@ -74,6 +79,35 @@ def bench_transform(transform_s: str, batch: int = 1 << 16, warmup_s: float = 2.
         "inputs_per_sec": rate,
         "keys_per_sec": rate * spec.numeric.n_slots,
         "batch": batch,
+        "iterations": iters,
+        "elapsed_secs": secs,
+    }
+
+
+def _bench_string_transform(spec, batch: int, warmup_s: float, measure_s: float):
+    """Host-batch rate for a string transform over decimal-string inputs.
+
+    Batches are capped at 1000 strings (the forward drivers' STRING_BATCH)
+    — wallet stretches dominate, so rates are per-input not per-key."""
+    bsz = min(batch, 1000)
+    counter = {"i": 0}
+
+    def fn():
+        base = counter["i"] * bsz
+        counter["i"] += 1
+        strings = [str(1_000_000_000 + base + j) for j in range(bsz)]
+        keys = spec.string.fn(strings)
+        valid = (spec.string.valid_fn(strings)
+                 if spec.string.valid_fn is not None else None)
+        return int(keys[0, 0, 0]), valid
+
+    iters, secs = _time_loop(fn, warmup_s, measure_s, depth=1)
+    rate = iters * bsz / secs
+    return {
+        "transform": spec.name,
+        "inputs_per_sec": rate,
+        "keys_per_sec": rate * len(spec.string.slots),
+        "batch": bsz,
         "iterations": iters,
         "elapsed_secs": secs,
     }

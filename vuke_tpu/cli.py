@@ -58,6 +58,11 @@ def _common_run_options(f):
         click.option("--iceberg-table", envvar="ICEBERG_TABLE", default="results"),
         click.option("--batch", default=1 << 16, type=int,
                      help="Device superbatch size (seeds per dispatch)"),
+        click.option("--checkpoint", "checkpoint_path", type=click.Path(),
+                     default=None,
+                     help="Manifest path for durable scan progress: completed "
+                          "seed sub-ranges are recorded atomically and skipped "
+                          "on resume (numeric sources only)"),
         click.option("--bitimage-path", default="m/84'/0'/0'/0/0"),
         click.option("--bitimage-passphrase", default=""),
         click.option("--bitimage-passphrase-wordlist", type=click.Path(), default=None),
@@ -119,8 +124,10 @@ def _source_commands(group, runner):
 def cli(no_tpu):
     """TPU-native weak-Bitcoin-key search framework (vuke capability surface)."""
     from ._cache import enable_compile_cache
+    from .telemetry import setup_logging
 
     enable_compile_cache()
+    setup_logging()
     if no_tpu:
         import jax
         try:
@@ -179,14 +186,26 @@ def _post_run_storage(params, storage_output):
             delete_local=params.get("cloud_delete_local", False),
             fail_fast=params.get("cloud_fail_fast", False),
         )
+        stats_by_key = None
+        if params.get("iceberg_catalog"):
+            # stat local chunks BEFORE upload: --cloud-delete-local removes
+            # them, and the snapshot needs real size/record-count stats
+            from .storage.iceberg import stat_local_files
+            try:
+                stats_by_key = stat_local_files(summary.paths, params["storage_dir"])
+            except Exception as e:
+                click.echo(f"Iceberg: could not stat local chunks: {e}", err=True)
         uploaded = sync_to_cloud(summary.paths, params["storage_dir"], cfg)
         if params.get("iceberg_catalog") and uploaded:
-            from .storage.iceberg import register_snapshot
+            from .storage.iceberg import join_uploaded_metadata, register_snapshot
+            files = (join_uploaded_metadata(stats_by_key, uploaded,
+                                            endpoint=params.get("cloud_endpoint"))
+                     if stats_by_key is not None else uploaded)
             register_snapshot(
                 catalog_url=params["iceberg_catalog"],
                 namespace=params.get("iceberg_namespace", "vuke"),
                 table=params.get("iceberg_table", "results"),
-                files=uploaded,
+                files=files,
             )
 
 
@@ -218,15 +237,71 @@ def _parse_specs(params):
 
 
 def _run_forward(params, source, matcher):
+    import dataclasses
+
     from .derive import KeyDeriver
-    from .pipeline import ForwardDriver, StringDriver
+    from .pipeline import ForwardDriver, ProcessStats, StringDriver
+    from .progress import Progress
+    from .telemetry import profile_trace
+    from .parallel.multihost import maybe_initialize_distributed, partition_range
+
     deriver = KeyDeriver(encode.parse_network(params["network"]))
     specs = _parse_specs(params)
     out, storage_output = _build_outputs(params, deriver)
     click.echo("Scanning..." if matcher is not None else "Generating keys...", err=True)
-    fwd = ForwardDriver(specs, matcher, out, deriver, batch=params.get("batch", 1 << 16))
+
+    ranged = hasattr(source, "start") and hasattr(source, "end")
+    pidx, pcount = maybe_initialize_distributed()
+    if pcount > 1 and ranged:
+        # static per-host ownership of the seed range (multihost.py) — ICI
+        # shards within a host via the mesh; hosts split the space over DCN
+        shard = partition_range(source.start, source.end, pcount, pidx)
+        click.echo(f"Host {pidx}/{pcount}: seeds [{shard.start}, {shard.end}]",
+                   err=True)
+        source = dataclasses.replace(source, start=shard.start, end=shard.end)
+
+    progress = None
+    if ranged:
+        total = source.end - source.start + 1
+        if getattr(source, "microseconds", False):
+            total += (source.end + 1) * 1000 - source.start * 1000
+        progress = Progress(total=total, label="scan" if matcher else "generate")
+
+    fwd = ForwardDriver(specs, matcher, out, deriver,
+                        batch=params.get("batch", 1 << 16), progress=progress)
     sd = StringDriver(specs, matcher, out, deriver)
-    stats = source.process(fwd, sd)
+
+    ckpt = None
+    if params.get("checkpoint_path") and ranged:
+        from .parallel.checkpoint import SweepCheckpoint
+        job = (f"{'scan' if matcher else 'generate'}:"
+               f"{','.join(sorted(params['transforms']))}:"
+               f"{source.start}-{source.end}")
+        path = params["checkpoint_path"]
+        if pcount > 1:
+            path = f"{path}.h{pidx}"
+        ckpt = SweepCheckpoint.load(path, job)
+
+    with profile_trace():
+        if ckpt is not None:
+            stats = ProcessStats()
+            chunk = max(params.get("batch", 1 << 16) * 16, 1)
+            for s, e in ckpt.pending_ranges(source.start, source.end):
+                pos = s
+                while pos <= e:
+                    ce = min(e, pos + chunk - 1)
+                    sub = dataclasses.replace(source, start=pos, end=ce)
+                    stats.merge(sub.process(fwd, sd))
+                    ckpt.mark_completed(pos, ce)
+                    ckpt.save()
+                    pos = ce + 1
+        else:
+            stats = source.process(fwd, sd)
+    if progress is not None:
+        progress.finish()
+    out.flush()
+    if hasattr(out, "close"):
+        out.close()
     click.echo(f"Done. Inputs: {stats.inputs_processed}, Keys: {stats.keys_generated}, "
                f"Matches: {stats.matches_found}", err=True)
     _post_run_storage(params, storage_output)
@@ -360,15 +435,20 @@ def bench(transform_s, as_json, batch, seconds):
 @click.option("--batch", default=1 << 20, type=int)
 @click.option("--max-seeds", default=None, type=int,
               help="Bound open-ended sweeps (TPU addition; default unbounded)")
+@click.option("--checkpoint", "checkpoint_path", type=click.Path(), default=None,
+              help="Manifest path for durable brute-force progress "
+                   "(resume preempted sweeps; TPU addition)")
 def analyze(key, fast, mask, cascade, analyzers, mnemonic, mnemonic_file,
-            passphrase, chain_depth, puzzle, verify_p, as_json, batch, max_seeds):
+            passphrase, chain_depth, puzzle, verify_p, as_json, batch, max_seeds,
+            checkpoint_path):
     """Analyze a private key for potential vulnerable origins."""
     from .analyze import run_analyze
     run_analyze(key_str=key, fast=fast, mask=mask, cascade=cascade,
                 analyzers=list(analyzers), mnemonic=mnemonic,
                 mnemonic_file=mnemonic_file, passphrase=passphrase,
                 chain_depth=chain_depth, puzzle=puzzle, verify=verify_p,
-                as_json=as_json, batch=batch, max_seeds=max_seeds)
+                as_json=as_json, batch=batch, max_seeds=max_seeds,
+                checkpoint=checkpoint_path)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ class ConsoleOutput:
     @classmethod
     def to_file(cls, path, verbose: bool = False) -> "ConsoleOutput":
         out = cls(open(path, "w"), verbose)
-        out._close_on_flush = False
+        out._close_on_flush = True
         return out
 
     def key(self, source: str, transform: str, derived: DerivedKey):
@@ -76,4 +76,14 @@ class ConsoleOutput:
 
     def flush(self):
         with self._lock:
+            if getattr(self._stream, "closed", False):
+                return
             self._stream.flush()
+
+    def close(self):
+        """Release the file handle (no-op for stdout).  Called once by the
+        CLI after the whole run; ``flush`` stays safe mid-run (drivers
+        flush after every range)."""
+        with self._lock:
+            if self._close_on_flush and not getattr(self._stream, "closed", False):
+                self._stream.close()

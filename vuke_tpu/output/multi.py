@@ -26,3 +26,8 @@ class MultiOutput:
     def flush(self):
         for o in self.outputs:
             o.flush()
+
+    def close(self):
+        for o in self.outputs:
+            if hasattr(o, "close"):
+                o.close()

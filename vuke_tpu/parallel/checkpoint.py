@@ -82,7 +82,7 @@ class SweepCheckpoint:
 
 def checkpointed_sweep(program, start: int, end: int, ckpt: SweepCheckpoint,
                        target_words=None, progress=None,
-                       checkpoint_every_batches: int = 16):
+                       checkpoint_every_batches: int = 16, decode=None):
     """Sweep [start, end] with periodic durable progress.
 
     Resumes from the manifest's pending ranges; marks each chunk completed
@@ -90,21 +90,27 @@ def checkpointed_sweep(program, start: int, end: int, ckpt: SweepCheckpoint,
     """
     from ..analyze import sweeps
     if ckpt.found_seed is not None:
-        return sweeps.SweepResult(True, ckpt.found_seed, 0, 0.0)
+        seed = ckpt.found_seed
+        if isinstance(seed, list):   # JSON round-trip of a (seed, index) pair
+            seed = tuple(seed)
+        return sweeps.SweepResult(True, seed, 0, 0.0)
     searched = 0
+    cascade_hits = 0
     chunk = program.batch * checkpoint_every_batches
     for s, e in ckpt.pending_ranges(start, end):
         pos = s
         while pos <= e:
             ce = min(e, pos + chunk - 1)
             r = sweeps.sweep(program, pos, ce, target_words=target_words,
-                             progress=progress)
+                             progress=progress, decode=decode)
             searched += r.searched
+            cascade_hits += r.cascade_hits
             if r.found:
                 ckpt.found_seed = r.seed
                 ckpt.save()
-                return sweeps.SweepResult(True, r.seed, searched, r.elapsed)
+                return sweeps.SweepResult(True, r.seed, searched, r.elapsed,
+                                          cascade_hits)
             ckpt.mark_completed(pos, ce)
             ckpt.save()
             pos = ce + 1
-    return sweeps.SweepResult(False, None, searched, 0.0)
+    return sweeps.SweepResult(False, None, searched, 0.0, cascade_hits)

@@ -123,7 +123,8 @@ class DistributedSweep:
         self.program = program
         self.round_batches = round_batches
 
-    def run(self, start: int, end: int, target_words=None, progress=None):
+    def run(self, start: int, end: int, target_words=None, progress=None,
+            decode=None):
         from ..analyze import sweeps
         import jax
         host = jax.process_index()
@@ -136,7 +137,7 @@ class DistributedSweep:
         while pos <= shard.end:
             round_end = min(shard.end, pos + batch * self.round_batches - 1)
             r = sweeps.sweep(self.program, pos, round_end, target_words=target_words,
-                             progress=progress)
+                             progress=progress, decode=decode)
             searched += r.searched
             if r.found:
                 local = r.seed

@@ -294,6 +294,7 @@ class ForwardDriver:
 
     def _emit_generate(self, spec: TransformSpec, bstart: int, n: int, results):
         from . import encode, native
+        emit = _fast_emitter(self.output, self.deriver)
         slot_rows = []
         for result in results:
             keys = np.asarray(result["keys"])[:n]
@@ -316,8 +317,33 @@ class ForwardDriver:
                 else:
                     addr = encode.p2pkh_address(h160c[i].astype("<u4").tobytes(),
                                                 self.deriver.network)
-                self.output.key_fast(f"{seed}{spec.numeric.slots[slot_i]}",
-                                     spec.name, key, addr, deriver=self.deriver)
+                emit(f"{seed}{spec.numeric.slots[slot_i]}", spec.name, key, addr)
+
+
+def _fast_emitter(output, deriver):
+    """Prefer the no-host-EC ``key_fast`` path; fall back to a full derive
+    + ``key`` for outputs that only implement the basic interface."""
+    kf = getattr(output, "key_fast", None)
+    if kf is not None:
+        return lambda source, name, key, addr: kf(source, name, key, addr,
+                                                  deriver=deriver)
+    return lambda source, name, key, addr: output.key(source, name,
+                                                      deriver.derive(key))
+
+
+@functools.lru_cache(maxsize=None)
+def _string_generate_program(inv_chunk: int):
+    """Device derive for string-source *generate* mode: normalized keys +
+    compressed hash160s, so addresses come from the native batch encoder
+    instead of per-key host EC (wordlist/stdin throughput class,
+    /root/reference/src/source/wordlist.rs:50-80)."""
+
+    def fn(kw):
+        norm = normalize_scalar(kw)
+        d = derive_hash160s(norm, inv_chunk=inv_chunk)
+        return norm, d["h160c"]
+
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)
@@ -427,11 +453,39 @@ class StringDriver:
                         self.output.hit(f"{label(strings[i])}{st.slots[s_i]}",
                                         spec.name, derived, info)
             elif self.matcher is None:
-                for i in range(n):
-                    for s_i in range(S):
-                        if not valid[i, s_i]:
-                            continue
-                        derived = self.deriver.derive(key_words_to_bytes(keys[i, s_i]))
-                        self.output.key(f"{label(strings[i])}{st.slots[s_i]}",
-                                        spec.name, derived)
+                self._emit_generate(spec, st, strings, keys, valid, label)
         return stats
+
+    def _emit_generate(self, spec, st, strings, keys, valid, label):
+        """Generate-mode output via device h160 + native address encoding
+        (one device batch instead of per-key host EC)."""
+        from . import encode, native
+
+        n, S = keys.shape[:2]
+        flat = keys.reshape(-1, 8)
+        norm = np.zeros_like(flat)
+        h160c = np.zeros((len(flat), 5), dtype=np.uint32)
+        prog = _string_generate_program(self.inv_chunk)
+        for ofs in range(0, len(flat), self.PAD):
+            chunk = flat[ofs:ofs + self.PAD]
+            m = len(chunk)
+            if m < self.PAD:
+                chunk = np.vstack([chunk, np.tile(chunk[-1:], (self.PAD - m, 1))])
+            nk, hc = prog(jnp.asarray(chunk))
+            norm[ofs:ofs + m] = np.asarray(nk)[:m]
+            h160c[ofs:ofs + m] = np.asarray(hc)[:m]
+        addrs = native.batch_p2pkh(h160c.astype("<u4").tobytes(), len(flat),
+                                   self.deriver.network.p2pkh_version)
+        emit = _fast_emitter(self.output, self.deriver)
+        for i in range(n):
+            for s_i in range(S):
+                if not valid[i, s_i]:
+                    continue
+                flat_i = i * S + s_i
+                key = key_words_to_bytes(norm[flat_i])
+                if addrs is not None:
+                    addr = addrs[flat_i]
+                else:
+                    addr = encode.p2pkh_address(
+                        h160c[flat_i].astype("<u4").tobytes(), self.deriver.network)
+                emit(f"{label(strings[i])}{st.slots[s_i]}", spec.name, key, addr)

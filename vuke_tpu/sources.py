@@ -24,6 +24,37 @@ from .pipeline import ForwardDriver, ProcessStats, StringDriver
 STRING_BATCH = 1000
 
 
+def _string_only_specs(string_driver: Optional[StringDriver]):
+    """Transforms reachable only through the string path (electrum,
+    multibit, ...): numeric sources feed them the *decimal string* of each
+    seed, mirroring Input::from_u64's string_val population
+    (/root/reference/src/transform/input.rs:22-30) — e.g. the
+    electrum-over-timestamps attack, transform/electrum.rs:44-66."""
+    if string_driver is None:
+        return []
+    return [s for s in string_driver.specs
+            if s.numeric is None and s.string is not None
+            and getattr(s.string, "blob_fn", None) is None]
+
+
+def _run_string_specs_over_range(string_driver, start: int, end: int,
+                                 counted: bool) -> ProcessStats:
+    stats = ProcessStats()
+    specs = _string_only_specs(string_driver)
+    if not specs:
+        return stats
+    pos = start
+    while pos <= end:
+        hi = min(pos + STRING_BATCH - 1, end)
+        st = string_driver.process_batch([str(v) for v in range(pos, hi + 1)],
+                                         specs=specs)
+        if counted:   # numeric driver already counted these inputs
+            st.inputs_processed = 0
+        stats.merge(st)
+        pos = hi + 1
+    return stats
+
+
 @dataclass
 class RangeSource:
     start: int
@@ -31,7 +62,11 @@ class RangeSource:
 
     def process(self, numeric_driver: ForwardDriver,
                 string_driver: Optional[StringDriver] = None) -> ProcessStats:
-        return numeric_driver.run_range(self.start, self.end)
+        stats = numeric_driver.run_range(self.start, self.end)
+        stats.merge(_run_string_specs_over_range(
+            string_driver, self.start, self.end,
+            counted=bool(getattr(numeric_driver, "specs", None))))
+        return stats
 
 
 @dataclass
@@ -56,10 +91,16 @@ class TimestampSource:
 
     def process(self, numeric_driver: ForwardDriver,
                 string_driver: Optional[StringDriver] = None) -> ProcessStats:
+        counted = bool(getattr(numeric_driver, "specs", None))
         stats = numeric_driver.run_range(self.start, self.end)
+        stats.merge(_run_string_specs_over_range(
+            string_driver, self.start, self.end, counted))
         if self.microseconds:
             stats.merge(numeric_driver.run_range(self.start * 1000,
                                                  (self.end + 1) * 1000 - 1))
+            stats.merge(_run_string_specs_over_range(
+                string_driver, self.start * 1000, (self.end + 1) * 1000 - 1,
+                counted))
         return stats
 
 

@@ -18,6 +18,12 @@ from typing import List, Optional
 from . import CloudConfig, CloudPath
 
 
+# multipart streaming parameters (s3.rs WriteMultipart: 8MB parts)
+MULTIPART_THRESHOLD = 8 * 1024 * 1024
+PART_SIZE = 8 * 1024 * 1024
+PART_RETRIES = 3
+
+
 def _env(*names, default=None):
     for n in names:
         v = os.environ.get(n)
@@ -84,6 +90,16 @@ class S3Uploader:
     # -- operations ---------------------------------------------------------
 
     def upload_file(self, local_path: str, key: str) -> CloudPath:
+        """Upload a file; large files stream as S3 multipart parts.
+
+        Mirrors the reference's WriteMultipart streaming path
+        (/root/reference/src/storage/cloud/s3.rs:89-167): files over
+        MULTIPART_THRESHOLD never sit whole in memory — parts are read,
+        signed and PUT one at a time with per-part retry, and the upload
+        is aborted server-side on failure."""
+        size = os.path.getsize(local_path)
+        if size > MULTIPART_THRESHOLD:
+            return self._upload_multipart(local_path, key, size)
         import requests
         with open(local_path, "rb") as f:
             data = f.read()
@@ -94,6 +110,73 @@ class S3Uploader:
         resp = requests.put(url, data=data, headers=headers, timeout=60)
         if resp.status_code not in (200, 201):
             raise RuntimeError(f"S3 PUT {key} failed: {resp.status_code} {resp.text[:200]}")
+        return CloudPath(self.bucket, key)
+
+    def _upload_multipart(self, local_path: str, key: str, size: int) -> CloudPath:
+        import requests
+
+        empty_hash = hashlib.sha256(b"").hexdigest()
+        base = self._url(key)
+
+        resp = requests.post(base + "?uploads",
+                             headers=self._sign("POST", base + "?uploads",
+                                                empty_hash, {}), timeout=60)
+        if resp.status_code != 200:
+            raise RuntimeError(f"S3 CreateMultipartUpload {key} failed: "
+                               f"{resp.status_code} {resp.text[:200]}")
+        import re
+        m = re.search(r"<UploadId>([^<]+)</UploadId>", resp.text)
+        if not m:
+            raise RuntimeError(f"S3 CreateMultipartUpload {key}: no UploadId")
+        upload_id = m.group(1)
+
+        etags = []
+        try:
+            with open(local_path, "rb") as f:
+                part_no = 1
+                while True:
+                    data = f.read(PART_SIZE)
+                    if not data:
+                        break
+                    url = (f"{base}?partNumber={part_no}&"
+                           f"uploadId={urllib.parse.quote(upload_id)}")
+                    payload_hash = hashlib.sha256(data).hexdigest()
+                    last = None
+                    for _attempt in range(PART_RETRIES):
+                        headers = self._sign("PUT", url, payload_hash,
+                                             {"content-length": str(len(data))})
+                        r = requests.put(url, data=data, headers=headers, timeout=120)
+                        if r.status_code == 200:
+                            etags.append((part_no, r.headers.get("ETag", "")))
+                            last = None
+                            break
+                        last = RuntimeError(
+                            f"S3 UploadPart {key}#{part_no}: {r.status_code}")
+                    if last is not None:
+                        raise last
+                    part_no += 1
+
+            body = "<CompleteMultipartUpload>" + "".join(
+                f"<Part><PartNumber>{n}</PartNumber><ETag>{e}</ETag></Part>"
+                for n, e in etags) + "</CompleteMultipartUpload>"
+            url = f"{base}?uploadId={urllib.parse.quote(upload_id)}"
+            payload_hash = hashlib.sha256(body.encode()).hexdigest()
+            headers = self._sign("POST", url, payload_hash,
+                                 {"content-length": str(len(body))})
+            resp = requests.post(url, data=body.encode(), headers=headers,
+                                 timeout=60)
+            if resp.status_code != 200 or "<Error>" in resp.text:
+                raise RuntimeError(f"S3 CompleteMultipartUpload {key} failed: "
+                                   f"{resp.status_code} {resp.text[:200]}")
+        except BaseException:
+            url = f"{base}?uploadId={urllib.parse.quote(upload_id)}"
+            try:
+                requests.delete(url, headers=self._sign("DELETE", url,
+                                                        empty_hash, {}),
+                                timeout=30)
+            except Exception:
+                pass
+            raise
         return CloudPath(self.bucket, key)
 
     def list_objects(self, prefix: Optional[str] = None) -> List[CloudPath]:
@@ -118,12 +201,17 @@ class InMemoryUploader:
     """Test fake (the object_store::memory::InMemory analogue, with optional
     failure injection like the reference's TestUploader, sync.rs:169-215)."""
 
-    def __init__(self, bucket: str = "test-bucket", fail_keys=(), fail_times: int = 0):
+    def __init__(self, bucket: str = "test-bucket", fail_keys=(), fail_times: int = 0,
+                 part_size: int = PART_SIZE,
+                 multipart_threshold: int = MULTIPART_THRESHOLD):
         self.bucket = bucket
         self.objects = {}
         self.fail_keys = set(fail_keys)
         self.fail_times = fail_times
         self._failures = {}
+        self.part_size = part_size
+        self.multipart_threshold = multipart_threshold
+        self.multipart_parts = {}  # key -> number of parts streamed
 
     def upload_file(self, local_path: str, key: str) -> CloudPath:
         if key in self.fail_keys:
@@ -131,8 +219,21 @@ class InMemoryUploader:
             if self.fail_times < 0 or n < self.fail_times:
                 self._failures[key] = n + 1
                 raise RuntimeError(f"injected failure for {key}")
-        with open(local_path, "rb") as f:
-            self.objects[key] = f.read()
+        size = os.path.getsize(local_path)
+        if size > self.multipart_threshold:
+            # mirror S3Uploader's streaming split so tests can assert on it
+            parts = []
+            with open(local_path, "rb") as f:
+                while True:
+                    data = f.read(self.part_size)
+                    if not data:
+                        break
+                    parts.append(data)
+            self.multipart_parts[key] = len(parts)
+            self.objects[key] = b"".join(parts)
+        else:
+            with open(local_path, "rb") as f:
+                self.objects[key] = f.read()
         return CloudPath(self.bucket, key)
 
     def list_objects(self, prefix: Optional[str] = None) -> List[CloudPath]:

@@ -165,13 +165,42 @@ def file_metadata_for(paths, base_dir: str, uris=None) -> List[FileMetadata]:
     return out
 
 
+def stat_local_files(paths, base_dir: str) -> dict:
+    """Parquet statistics per future remote key, taken while the local
+    chunks still exist (before any --cloud-delete-local removal)."""
+    from ..cloud import remote_key
+    return {remote_key(p, base_dir, None): meta
+            for p, meta in zip(paths, file_metadata_for(paths, base_dir))}
+
+
+def join_uploaded_metadata(by_key: dict, uploaded, endpoint=None):
+    """Attach uploaded cloud locations to the pre-upload statistics.
+
+    Returns FileMetadata with real size/record-count/partition values per
+    registered file — the reference registers these per DataFile
+    (main.rs:1144-1266, iceberg/catalog.rs:27-101)."""
+    out = []
+    for cp in uploaded:
+        meta = by_key.get(cp.key)
+        if meta is None:
+            meta = FileMetadata(uri="", file_size=0, record_count=0)
+        meta.uri = cp.url(endpoint)
+        out.append(meta)
+    return out
+
+
 def register_snapshot(catalog_url: str, namespace: str, table: str, files):
-    """CLI tail: register uploaded files (files: list of CloudPath or str)."""
+    """CLI tail: register uploaded files.
+
+    ``files`` may be FileMetadata (preferred — carries real stats), or
+    CloudPath/str fallbacks which register with zero stats."""
     import sys
     cfg = IcebergConfig(catalog_url, namespace, table)
     client = RestCatalogClient(cfg)
-    metas = [FileMetadata(uri=(f.url() if hasattr(f, "url") else str(f)),
-                          file_size=0, record_count=0) for f in files]
+    metas = [f if isinstance(f, FileMetadata)
+             else FileMetadata(uri=(f.url() if hasattr(f, "url") else str(f)),
+                               file_size=0, record_count=0)
+             for f in files]
     try:
         info = client.register_parquet_files(metas)
         print(f"Iceberg: registered {info.files_registered} files "

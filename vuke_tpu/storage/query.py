@@ -132,8 +132,10 @@ def format_results(rows: Sequence[tuple], columns: Sequence[str], fmt: str) -> s
     if fmt == "csv":
         import io
         import csv as _csv
+        if not rows:
+            return ""  # header-less empty output (query_format.rs format_csv)
         buf = io.StringIO()
-        w = _csv.writer(buf)
+        w = _csv.writer(buf, lineterminator="\n")
         w.writerow(columns)
         for row in rows:
             w.writerow([_fmt_value(v) for v in row])

@@ -20,7 +20,8 @@ from .strings import StringTransform
 def electrum_spec(for_change: bool = False, derivation_count: int = 20,
                   device_stretch_threshold: int = 32) -> TransformSpec:
     from ..wallets.electrum import (ElectrumDeriver, ElectrumError,
-                                    stretch_keys_device, truncate_seed)
+                                    master_pubkeys_device, stretch_keys_device,
+                                    truncate_seed)
     chain = "1" if for_change else "0"
     name = "electrum:change" if for_change else "electrum"
     slots = [f"[{chain}/{i}]" for i in range(derivation_count)]
@@ -38,11 +39,11 @@ def electrum_spec(for_change: bool = False, derivation_count: int = 20,
         for slen, idxs in by_len.items():
             if len(idxs) >= device_stretch_threshold:
                 stretched = stretch_keys_device([strings[i].encode() for i in idxs])
-                for i, st in zip(idxs, stretched):
-                    try:
-                        derivers[i] = ElectrumDeriver(st, for_change)
-                    except ElectrumError:
-                        pass
+                pubkeys = master_pubkeys_device(stretched)
+                for i, st, pk in zip(idxs, stretched, pubkeys):
+                    if pk is None:
+                        continue   # invalid stretched scalar
+                    derivers[i] = ElectrumDeriver(st, for_change, pubkey_bytes=pk)
             else:
                 for i in idxs:
                     try:

@@ -43,13 +43,16 @@ def truncate_seed(seed: str) -> str:
 
 
 class ElectrumDeriver:
-    def __init__(self, stretched: bytes, for_change: bool = False):
+    def __init__(self, stretched: bytes, for_change: bool = False,
+                 pubkey_bytes: Optional[bytes] = None):
         k = int.from_bytes(stretched, "big")
         if k == 0 or k >= ref.N:
             raise ElectrumError("Invalid stretched key")
         self.master_privkey = k
-        x, y = ref.point_mul(k)
-        self.master_pubkey_bytes = x.to_bytes(32, "big") + y.to_bytes(32, "big")
+        if pubkey_bytes is None:   # single-seed path: host EC
+            x, y = ref.point_mul(k)
+            pubkey_bytes = x.to_bytes(32, "big") + y.to_bytes(32, "big")
+        self.master_pubkey_bytes = pubkey_bytes
         self.for_change = for_change
 
     @classmethod
@@ -114,3 +117,46 @@ def stretch_keys_device(seeds: List[bytes]):
 
     out = np.asarray(stretch(jnp.asarray(x_words), jnp.asarray(seed_words)))
     return [bytes(np.asarray(out[i], dtype=">u4").tobytes()) for i in range(len(seeds))]
+
+
+def master_pubkeys_device(stretched: List[bytes]):
+    """Batch-derive uncompressed master pubkeys (64B x||y) on device.
+
+    Replaces the per-seed host ``ref.point_mul`` in timestamp-scale electrum
+    scans (/root/reference/src/electrum.rs:118-130 semantics) with the
+    shared fixed-base scalar-mul kernel.  Invalid scalars (0 or >= n) map
+    to ``None``, matching ElectrumDeriver's rejection.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ..ecc.pubkey import derive_pubkey
+
+    out = [None] * len(stretched)
+    idxs = [i for i, s in enumerate(stretched)
+            if 0 < int.from_bytes(s, "big") < ref.N]
+    if not idxs:
+        return out
+
+    PAD = 1024  # tile-aligned: hits the Pallas kernel on TPU backends
+
+    global _MPK_PROGRAM
+    try:
+        prog = _MPK_PROGRAM
+    except NameError:
+        def _derive(words):
+            xw, yw, _ = derive_pubkey(words, inv_chunk=32)
+            return xw, yw
+        prog = _MPK_PROGRAM = jax.jit(_derive)
+
+    for ofs in range(0, len(idxs), PAD):
+        chunk = idxs[ofs:ofs + PAD]
+        words = np.ones((PAD, 8), dtype=np.uint32)  # dummy scalar pad
+        for j, i in enumerate(chunk):
+            words[j] = np.frombuffer(stretched[i], dtype=">u4")
+        xw, yw = prog(jnp.asarray(words))
+        xw = np.asarray(xw[:len(chunk)], dtype=">u4")
+        yw = np.asarray(yw[:len(chunk)], dtype=">u4")
+        for j, i in enumerate(chunk):
+            out[i] = xw[j].tobytes() + yw[j].tobytes()
+    return out
