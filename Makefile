@@ -1,9 +1,13 @@
 # Common tasks (the reference's justfile analogue)
 
-.PHONY: test native bench clean lint
+.PHONY: test test-fast native bench bench-suite clean lint
 
 test:
 	python -m pytest tests/ -x -q
+
+# CPU fast tier: 8 virtual devices, tpu_only/slow tests skipped
+test-fast:
+	VUKE_TEST_PLATFORM=cpu python -m pytest tests/ -x -q -m "not slow"
 
 native:
 	$(MAKE) -C native
