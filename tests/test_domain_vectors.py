@@ -1,0 +1,157 @@
+"""Ported reference domain-layer inline tests.
+
+Vector-for-vector ports of the test mods in /root/reference/src/derive.rs
+(3 tests), matcher.rs (2), network.rs (1), provider.rs (11, boha-gated
+ones run against the bundled data/puzzles.json instead of the boha crate).
+"""
+
+import pytest
+
+from vuke_tpu import encode, provider
+from vuke_tpu.derive import KeyDeriver
+from vuke_tpu.matcher import AddressType, Matcher
+
+CORRECT_HORSE_KEY = bytes([
+    0xc4, 0xbb, 0xcb, 0x1f, 0xbe, 0xc9, 0x9d, 0x65, 0xbf, 0x59, 0xd8, 0x5c,
+    0x8c, 0xb6, 0x2e, 0xe2, 0xdb, 0x96, 0x3f, 0x0f, 0xe1, 0x06, 0xf4, 0x83,
+    0xd9, 0xaf, 0xa7, 0x3b, 0xd4, 0xe3, 0x9a, 0x8a,
+])
+
+
+# --- derive.rs test mod (derive.rs:179-224) ---------------------------------
+
+def test_derive_known_key():
+    derived = KeyDeriver().derive(CORRECT_HORSE_KEY)
+    assert derived.wif_uncompressed == \
+        "5KJvsngHeMpm884wtkJNzQGaCErckhHJBGFsvd3VyK5qMZXj3hS"
+    assert derived.p2pkh_uncompressed == "1JwSSubhmg6iPtRjtyqhUYYH7bZg3Lfy1T"
+    assert derived.wif_compressed[0] in "KL"
+    assert derived.p2wpkh.startswith("bc1q")
+
+
+def test_addresses_returns_all():
+    addrs = KeyDeriver().derive(b"\x01" * 32).addresses()
+    assert len(addrs) == 3
+    assert addrs[0].startswith("1")        # P2PKH compressed
+    assert addrs[1].startswith("1")        # P2PKH uncompressed
+    assert addrs[2].startswith("bc1q")     # P2WPKH
+
+
+def test_derive_normalizes_zero_key():
+    derived = KeyDeriver().derive(b"\x00" * 32)
+    assert derived.private_key_decimal == "1"
+    assert derived.bit_length == 1
+
+
+# --- matcher.rs test mod (matcher.rs:117-149) --------------------------------
+
+def test_matcher_check():
+    derived = KeyDeriver().derive(CORRECT_HORSE_KEY)
+    matcher = Matcher.from_addresses(["1JwSSubhmg6iPtRjtyqhUYYH7bZg3Lfy1T"])
+    info = matcher.check(derived)
+    assert info is not None
+    assert info.address_type == AddressType.P2PKH_UNCOMPRESSED
+    assert info.address == "1JwSSubhmg6iPtRjtyqhUYYH7bZg3Lfy1T"
+
+
+def test_matcher_no_match():
+    derived = KeyDeriver().derive(b"\x01" * 32)
+    matcher = Matcher.from_addresses(["1NonExistentAddress"])
+    assert matcher.check(derived) is None
+
+
+# --- network.rs test mod (network.rs:24-32) ----------------------------------
+
+def test_parse_network():
+    assert encode.parse_network("bitcoin") is encode.BITCOIN
+    assert encode.parse_network("mainnet") is encode.BITCOIN
+    assert encode.parse_network("BITCOIN") is encode.BITCOIN
+    assert encode.parse_network("testnet") is encode.TESTNET
+    assert encode.parse_network("signet") is encode.SIGNET
+    assert encode.parse_network("regtest") is encode.REGTEST
+    assert encode.parse_network("unknown") is encode.BITCOIN  # warn+default
+
+
+# --- provider.rs test mod (provider.rs:466-591) --------------------------------
+
+def test_is_provider():
+    assert provider.is_provider("boha:b1000:66")
+    assert provider.is_provider("boha:b1000:unsolved")
+    assert not provider.is_provider("targets.txt")
+    assert not provider.is_provider("/path/to/file")
+    assert not provider.is_provider("C:\\Windows\\path")
+
+
+def test_is_provider_edge_cases():
+    assert not provider.is_provider("")
+    assert not provider.is_provider("a:b")
+    assert not provider.is_provider("C:Windows")
+    assert provider.is_provider("boha:")
+    assert provider.is_provider("boha:b1000")
+
+
+def test_resolve_file_path():
+    assert provider.resolve("targets.txt") is None
+    assert provider.resolve("/path/to/file") is None
+
+
+def test_resolve_boha_single_puzzle():
+    # provider.rs:487-499: puzzle 1 -> the known b1000 #1 address, mask 1
+    result = provider.resolve("boha:b1000:1")
+    assert result is not None
+    assert result.addresses == ["1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH"]
+    assert result.context is not None
+    assert result.context.mask_bits == 1
+
+
+def test_resolve_boha_collection_filter():
+    result = provider.resolve("boha:b1000:solved")
+    assert result is not None
+    assert result.addresses
+    assert result.context is None
+
+
+def test_resolve_boha_filters():
+    total = len(provider.resolve("boha:b1000").addresses)
+    solved = len(provider.resolve("boha:b1000:solved").addresses)
+    unsolved = len(provider.resolve("boha:b1000:unsolved").addresses)
+    assert total == solved + unsolved
+    with_pk = provider.resolve("boha:b1000:with-pubkey").addresses
+    assert len(with_pk) <= total
+
+
+def test_resolve_boha_invalid_collection():
+    with pytest.raises(ValueError):
+        provider.resolve("boha:invalid_collection")
+
+
+def test_resolve_invalid_filter():
+    with pytest.raises(ValueError):
+        provider.resolve("boha:b1000:not_a_filter")
+
+
+def test_build_cascade():
+    # provider.rs:512-527: neighbors of a puzzle, ascending bit counts,
+    # masked with the analyzer formula, no duplicate bit widths
+    targets = provider.build_cascade("b1000", 66, 5)
+    assert targets
+    bits = [b for b, _ in targets]
+    assert bits == sorted(bits)
+    assert len(set(bits)) == len(bits)
+    for b, t in targets:
+        assert t >> (b - 1) & 1 == 1      # high bit forced
+        if b < 64:
+            assert t < (1 << b)
+
+
+def test_verify_key():
+    # b1000 puzzle #1 key is 0x1
+    hit = provider.verify_key((1).to_bytes(32, "big"), "b1000")
+    assert hit is not None
+    puzzle, kind = hit
+    assert puzzle.id == 1
+    assert kind == "p2pkh_compressed"
+
+
+def test_verify_key_miss():
+    assert provider.verify_key((0xDEADBEEF).to_bytes(32, "big"), "b1000") is None

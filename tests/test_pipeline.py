@@ -161,6 +161,26 @@ def test_hit_overflow_batch_loses_none(deriver):
     assert stats.matches_found == n_plant
 
 
+def test_derive_matcher_falls_back_on_kernel_failure(deriver):
+    """Accelerator-path failure degrades to the XLA-staged program instead
+    of aborting the scan (reference: main.rs:1577-1594 GPU->CPU fallback)."""
+    key = (123).to_bytes(32, "big")
+    addr = _plant_address(key, deriver)
+
+    buf = io.StringIO()
+    out = ConsoleOutput(stream=buf)
+    matcher = Matcher.from_addresses([addr])
+    spec = parse_transform("direct")
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=256, inv_chunk=8)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected Mosaic failure")
+
+    driver.dm._fn = boom
+    stats = driver.run_range(1, 256)
+    assert stats.matches_found == 1
+
+
 def test_all_unparseable_targets_scan_does_not_crash(deriver):
     buf = io.StringIO()
     out = ConsoleOutput(stream=buf)

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Head-to-head: 13-bit-limb vs 16-bit-limb Pallas scalar-mul on the TPU.
+
+Validates bit-exactness of the 13-bit kernel against the host oracle
+(first lanes are adversarial scalars), then times both kernels steady
+state at the same batch.
+
+Usage: python tools/bench_smul13.py [batch_log2=17] [wbits=8]
+NOTE: single shared TPU — never run concurrently with another JAX process.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from vuke_tpu._cache import enable_compile_cache
+
+enable_compile_cache()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vuke_tpu.ecc import ref
+
+
+def interesting_scalars(n):
+    ks = [1, 2, 3, 255, 256, 257, ref.N - 1, ref.N - 2,
+          (1 << 255) + 12345, 0xDEADBEEF, 1 << 128, 1 << 64]
+    rng = np.random.RandomState(7)
+    while len(ks) < n:
+        ks.append(int.from_bytes(rng.bytes(32), "big") % (ref.N - 1) + 1)
+    return ks[:n]
+
+
+def digits_of(ks):
+    return jnp.asarray(
+        np.array([[(k >> (8 * w)) & 0xFF for w in range(32)] for k in ks],
+                 dtype=np.uint32))
+
+
+def check_lanes(name, ks, X, Y, ZZ, ZZZ, lanes):
+    X, Y, ZZ, ZZZ = (np.asarray(a) for a in (X, Y, ZZ, ZZZ))
+
+    def val(a, j):
+        return sum(int(a[j, i]) << (16 * i) for i in range(16))
+
+    for j in lanes:
+        ex, ey = ref.point_mul(ks[j])
+        zz, zzz = val(ZZ, j) % ref.P, val(ZZZ, j) % ref.P
+        gx = val(X, j) * pow(zz, ref.P - 2, ref.P) % ref.P
+        gy = val(Y, j) * pow(zzz, ref.P - 2, ref.P) % ref.P
+        assert gx == ex and gy == ey, f"{name} MISMATCH lane {j} k={hex(ks[j])}"
+    print(f"[{name}] exactness ok on {len(lanes)} lanes", flush=True)
+
+
+def bench(name, fn, digits, iters=20):
+    t0 = time.time()
+    out = fn(digits)
+    np.asarray(out[0][:1])
+    compile_s = time.time() - t0
+    for _ in range(3):
+        out = fn(digits)
+    np.asarray(out[0][:1, :1])
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(digits)
+    np.asarray(out[0][:1, :1])
+    dt = (time.time() - t0) / iters
+    n = digits.shape[0]
+    print(f"[{name}] {dt*1e3:8.2f} ms/iter  {n/dt/1e6:6.2f} M smul/s  "
+          f"(compile {compile_s:.0f}s)", flush=True)
+    return dt, out
+
+
+def digits_w(ks, wbits):
+    windows = -(-256 // wbits)
+    mask = (1 << wbits) - 1
+    return jnp.asarray(
+        np.array([[(k >> (wbits * w)) & mask for w in range(windows)]
+                  for k in ks], dtype=np.uint32))
+
+
+def main():
+    log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 17
+    wbits = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = 1 << log2
+    print(f"device: {jax.devices()[0].device_kind}, batch {n}, "
+          f"wbits {wbits}", flush=True)
+    ks = interesting_scalars(n)
+
+    from vuke_tpu.ecc.pallas_smul13 import scalar_mul_zz_pallas13
+    from vuke_tpu.ecc.pallas_smul import scalar_mul_zz_pallas
+
+    f13 = jax.jit(lambda d: scalar_mul_zz_pallas13(d, wbits=wbits))
+    print(f"compiling 13-bit kernel (wbits={wbits})...", flush=True)
+    dt13, out13 = bench("smul13", f13, digits_w(ks, wbits))
+    check_lanes("smul13", ks, *out13, lanes=list(range(12)) + [100, n - 1])
+
+    f16 = jax.jit(scalar_mul_zz_pallas)
+    print("compiling 16-bit kernel...", flush=True)
+    dt16, out16 = bench("smul16", f16, digits_of(ks))
+
+    # cross-check the two kernels bit-for-bit on all lanes (same window
+    # decomposition -> identical accumulation chain only when wbits == 8;
+    # other widths produce different-but-valid (ZZ, ZZZ) representatives,
+    # hence the oracle check above instead)
+    if wbits == 8:
+        same = all(np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(out13, out16))
+        print(f"bit-identical outputs across all {n} lanes: {same}",
+              flush=True)
+    print(f"speedup 13-bit vs 16-bit: {dt16 / dt13:.3f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,367 @@
+"""Pallas TPU kernel: fixed-base scalar-mul over 13-bit limbs.
+
+The 16-bit-limb schoolbook (pallas_smul.py) spends ~40% of its VPU ops
+splitting every 16x16 partial product into lo/hi halves before
+accumulation (u32 can hold one product but not a column sum of them).
+With 13-bit limbs a partial product is <= (2^13-1)^2 < 2^26.34 and a
+column has <= 20 terms, so whole columns accumulate RAW in uint32 with no
+per-product split: a field-mul drops from ~1670 to ~1340 vector ops, a
+squaring (symmetric schoolbook over a pre-doubled operand) to ~1000.
+Measured VPU throughput on v5e (tools/vpu_probe.py) is ~3.4T lane-ops/s
+and the 16-bit kernel already runs at that ceiling, so op count is the
+only lever — this is it.
+
+Representation: 20 limbs x 13 bits (LSB first), carried in (8, 128) u32
+rows.  Bounds discipline (documented per op):
+  * "normalized": limbs <= 0x1FFF, top limb l19 <= 0x200 (value < ~2^256),
+    the state every mul/sqr/add output returns to — mirrors the 16-bit
+    scheme where the representation ceiling sits at the fold boundary so
+    4p-based negation always has headroom.
+  * mul/sqr INPUTS only require limbs <= 0x1FFF (any value < 2^260).
+  * _neg13 returns 4p - b (4p ~ 2^258 >= any normalized value); its output
+    is only ever consumed by _add13, which re-normalizes.
+
+The reduction folds the pseudo-Mersenne identity
+  2^(13i) == 2^(13(i-20)) * (2^36 + 15632)  (mod p)   for i >= 20
+(2^260 mod p = 2^4*(2^32+977) = 2^36 + 15632), i.e. per spilled limb one
+shift-anchored piece at bit 10 of limb i-18 and a 15632-multiple over
+limbs i-20..i-18.
+
+Same (ZZ, ZZZ) = (Z^2, Z^3) mixed-addition chain, table lookups via MXU
+one-hot dots (f32 exact: 13-bit table limbs < 2^24), 32 byte windows.
+Outputs convert to the standard 16x16-bit rows so everything downstream
+(batch inversion, hash160, tests) is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import ref
+
+L13 = 20                      # limbs per field element
+_M13 = np.uint32(0x1FFF)
+_C977 = np.uint32(977)
+_C15632 = np.uint32(15632)    # 16 * 977
+
+
+def _n_windows(wbits: int) -> int:
+    return -(-256 // wbits)
+
+
+@functools.lru_cache(maxsize=2)
+def _table13_f32(wbits: int = 8) -> np.ndarray:
+    """(n_windows, 2^wbits, 40) float32 fixed-base window table:
+    entry [w, d] = affine (x limbs 0..19, y limbs 20..39, 13-bit) of
+    d * 2^(wbits*w) * G.  Entry d=0 is (0, 0) — never selected."""
+    windows, tsize = _n_windows(wbits), 1 << wbits
+    out = np.zeros((windows, tsize, 2 * L13), dtype=np.float32)
+    base = (ref.GX, ref.GY)
+    for w in range(windows):
+        acc = None
+        for d in range(1, tsize):
+            acc = ref.point_add(acc, base)
+            x, y = acc
+            for i in range(L13):
+                out[w, d, i] = (x >> (13 * i)) & 0x1FFF
+                out[w, d, L13 + i] = (y >> (13 * i)) & 0x1FFF
+        for _ in range(wbits):
+            base = ref.point_add(base, base)
+    return out
+
+
+def _carry13(cols):
+    """Carry-propagate u32 row columns into 13-bit limbs. cols values must
+    be < 2^32 - 2^19 so adding an incoming carry (< 2^19) cannot wrap."""
+    out = []
+    carry = jnp.zeros_like(cols[0])
+    for c in cols:
+        t = c + carry
+        out.append(t & _M13)
+        carry = t >> np.uint32(13)
+    return out, carry
+
+
+def _fold_tail13(limbs, extras):
+    """Fold value parts at bits >= 256 back below, returning normalized
+    limbs (l19 <= 0x200).
+
+    ``limbs``: 20 rows, each <= ~2^13 (l19 may be full 13-bit);
+    ``extras``: list of (row, limb_index) pairs: row * 2^(13*limb_index+260)
+    contributions (i.e. spill limbs at positions >= 20), each row < 2^19.
+
+    Every spilled unit of 2^260 folds as 2^36 + 15632; l19's bits 9..12
+    (value bits >= 256) fold as 2^256 == 2^32 + 977: one piece at bit 6 of
+    limb 2 plus a 977-multiple over limbs 0..1.  One carry pass then
+    renormalizes (pieces are < 2^19 per column; see _carry13 bound)."""
+    cols = list(limbs)
+    for row, idx in extras:
+        # row * 2^(13*idx) * (2^36 + 15632), anchored at limb idx
+        a = row << np.uint32(10)                       # 2^36 = limb 2, bit 10
+        cols[idx + 2] = cols[idx + 2] + (a & _M13)
+        cols[idx + 3] = cols[idx + 3] + (a >> np.uint32(13))
+        b = row * _C15632
+        cols[idx] = cols[idx] + (b & _M13)
+        cols[idx + 1] = cols[idx + 1] + ((b >> np.uint32(13)) & _M13)
+        cols[idx + 2] = cols[idx + 2] + (b >> np.uint32(26))
+    h = cols[19] >> np.uint32(9)                       # value bits 256..268
+    cols[19] = cols[19] & np.uint32(0x1FF)
+    a = h << np.uint32(6)                              # h * 2^32: limb 2 bit 6
+    cols[2] = cols[2] + (a & _M13)
+    cols[3] = cols[3] + (a >> np.uint32(13))
+    b = h * _C977
+    cols[0] = cols[0] + (b & _M13)
+    cols[1] = cols[1] + (b >> np.uint32(13))
+    out, carry = _carry13(cols)
+    # carry out of l19 is impossible: cols[19] <= 0x1FF + pieces < 2^13
+    del carry
+    return out
+
+
+def _reduce13(cols):
+    """39 raw product columns (each < 2^31) -> normalized 20 limbs."""
+    limbs, carry = _carry13(cols)                      # 39 limbs + carry
+    lo = limbs[:20]
+    cols = list(lo) + [jnp.zeros_like(lo[0])] * 4      # room for fold pieces
+    for i in range(20, 39):                            # spill limbs
+        h = limbs[i]
+        idx = i - 20
+        a = h << np.uint32(10)
+        cols[idx + 2] = cols[idx + 2] + (a & _M13)
+        cols[idx + 3] = cols[idx + 3] + (a >> np.uint32(13))
+        b = h * _C15632
+        cols[idx] = cols[idx] + (b & _M13)
+        cols[idx + 1] = cols[idx + 1] + ((b >> np.uint32(13)) & _M13)
+        cols[idx + 2] = cols[idx + 2] + (b >> np.uint32(26))
+    # final carry of the 39-limb pass lives at limb position 39 -> idx 19
+    h = carry
+    a = h << np.uint32(10)
+    cols[21] = cols[21] + (a & _M13)
+    cols[22] = cols[22] + (a >> np.uint32(13))
+    b = h * _C15632
+    cols[19] = cols[19] + (b & _M13)
+    cols[20] = cols[20] + ((b >> np.uint32(13)) & _M13)
+    cols[21] = cols[21] + (b >> np.uint32(26))
+    limbs, carry = _carry13(cols)                      # 24 limbs + tiny carry
+    extras = [(limbs[20], 0), (limbs[21], 1), (limbs[22], 2), (limbs[23], 3),
+              (carry, 4)]
+    return _fold_tail13(limbs[:20], extras)
+
+
+def _mul13(a, b):
+    """Field mul of 13-bit limb-row lists (inputs: limbs <= 0x1FFF)."""
+    cols = [None] * 39
+    for i in range(L13):
+        ai = a[i]
+        for j in range(L13):
+            p = ai * b[j]                              # <= 2^26.34, no split
+            k = i + j
+            cols[k] = p if cols[k] is None else cols[k] + p
+    return _reduce13(cols)
+
+
+def _sqr13(a):
+    """Squaring via the symmetric schoolbook: cross terms use a pre-doubled
+    operand (2a_j <= 2^14, product <= 2^27.34, column sums still < 2^32:
+    <= 9 doubled cross terms + 1 diagonal per column < 10 * 2^27.4)."""
+    d = [a[j] + a[j] for j in range(L13)]
+    cols = [None] * 39
+    for i in range(L13):
+        cols_i2 = a[i] * a[i]
+        k = 2 * i
+        cols[k] = cols_i2 if cols[k] is None else cols[k] + cols_i2
+        ai = a[i]
+        for j in range(i + 1, L13):
+            p = ai * d[j]
+            k = i + j
+            cols[k] = p if cols[k] is None else cols[k] + p
+    return _reduce13(cols)
+
+
+def _add13(a, b):
+    """Add, renormalized (output l19 <= 0x200)."""
+    cols = [a[i] + b[i] for i in range(L13)]
+    limbs, carry = _carry13(cols)
+    return _fold_tail13(limbs, [(carry, 0)])
+
+
+_4P_LIMBS13 = [np.uint32((4 * ref.P >> (13 * i)) & 0x1FFF) for i in range(L13)]
+_4P_HI13 = np.uint32(4 * ref.P >> (13 * L13))   # bits >= 260 of 4p (= 0)
+assert _4P_HI13 == 0 and (4 * ref.P).bit_length() == 258
+
+
+def _neg13(b):
+    """4p - b for normalized b (< 2^257 << 4p ~ 2^258).  Output is NOT
+    normalized (value < 2^258) — feed only into _add13."""
+    out = []
+    borrow = jnp.zeros_like(b[0])
+    for i in range(L13):
+        t = _4P_LIMBS13[i] - b[i] - borrow
+        out.append(t & _M13)
+        borrow = (t >> np.uint32(13)) & np.uint32(1)
+    # b <= 4p so the final borrow is always zero
+    return out
+
+
+def _sub13(a, b):
+    """a - b mod p for normalized a, b."""
+    n = _neg13(b)
+    # a + (4p - b) < 2^257 + 2^258: the carry chain spills <= 1 unit past
+    # limb 19's 13 bits, which _fold_tail13 handles via the l19 high bits.
+    cols = [a[i] + n[i] for i in range(L13)]
+    limbs, carry = _carry13(cols)
+    return _fold_tail13(limbs, [(carry, 0)])
+
+
+def _select13(cond, a, b):
+    return [jnp.where(cond, a[i], b[i]) for i in range(L13)]
+
+
+def _rows13_to16(rows13):
+    """20x13-bit rows -> 16x16-bit rows (value < 2^256 guaranteed by
+    normalization: l19 <= 0x200 means bits >= 256 are clear... l19 <= 0x1FF
+    strictly after _fold_tail13's mask; a carry into l19 keeps it < 2^10,
+    i.e. value < 2^257 — fold once more if bit 256 could be set."""
+    # ensure value < 2^256: fold l19's bits >= 9 one final time
+    rows = _fold_tail13(list(rows13), [])
+    out = []
+    for j in range(16):
+        start = 16 * j
+        i0 = start // 13
+        sh = start - 13 * i0
+        t = rows[i0] >> np.uint32(sh)
+        avail = 13 - sh
+        t = t | (rows[i0 + 1] << np.uint32(avail)) if i0 + 1 < L13 else t
+        if avail + 13 < 16 and i0 + 2 < L13:
+            t = t | (rows[i0 + 2] << np.uint32(avail + 13))
+        out.append(t & np.uint32(0xFFFF))
+    return out
+
+
+def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref):
+    """digits_ref: (n_windows, 1, 8, 128) u32; table (n_windows, tsize, 40)
+    f32; outputs: (16, 1, 8, 128) u32 X, Y, ZZ (=Z^2), ZZZ (=Z^3) — 16-bit
+    rows, bit-compatible with the 16-bit kernel's outputs."""
+    from jax.experimental import pallas as pl
+
+    n_windows = digits_ref.shape[0]
+    tsize = table_ref.shape[1]
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (tsize, 128), 0)
+
+    def rows(arr):
+        return [arr[i] for i in range(L13)]
+
+    def stack(rs):
+        return jnp.stack(rs, axis=0)
+
+    def body(w, carry):
+        X_a, Y_a, ZZ_a, ZZZ_a, acc_inf = carry
+        X, Y = rows(X_a), rows(Y_a)
+        ZZ, ZZZ = rows(ZZ_a), rows(ZZZ_a)
+
+        d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
+        tab_w = table_ref[pl.ds(w, 1), :, :].reshape(tsize, 2 * L13)
+        entry_groups = []
+        for a in range(8):
+            d_a = d[a:a + 1, :]
+            onehot = (d_a == iota2).astype(jnp.float32)
+            e = jax.lax.dot_general(
+                tab_w, onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # (40, 128)
+            entry_groups.append(e.astype(jnp.int32).astype(jnp.uint32))
+        x2 = [jnp.concatenate([entry_groups[a][i:i + 1, :] for a in range(8)],
+                              axis=0) for i in range(L13)]
+        y2 = [jnp.concatenate([entry_groups[a][L13 + i:L13 + i + 1, :]
+                               for a in range(8)], axis=0) for i in range(L13)]
+
+        # mixed add in (ZZ, ZZZ) coordinates: 8M + 2S
+        U2 = _mul13(x2, ZZ)
+        S2 = _mul13(y2, ZZZ)
+        H = _sub13(U2, X)
+        R = _sub13(S2, Y)
+        HH = _sqr13(H)
+        HHH = _mul13(H, HH)
+        V = _mul13(X, HH)
+        X3 = _sub13(_sub13(_sqr13(R), HHH), _add13(V, V))
+        Y3 = _sub13(_mul13(R, _sub13(V, X3)), _mul13(Y, HHH))
+        ZZ3 = _mul13(ZZ, HH)
+        ZZZ3 = _mul13(ZZZ, HHH)
+
+        one_rows = [jnp.full((8, 128), np.uint32(1) if i == 0 else np.uint32(0),
+                             dtype=jnp.uint32) for i in range(L13)]
+        inf_b = acc_inf != 0
+        nX = _select13(inf_b, x2, X3)
+        nY = _select13(inf_b, y2, Y3)
+        nZZ = _select13(inf_b, one_rows, ZZ3)
+        nZZZ = _select13(inf_b, one_rows, ZZZ3)
+        d_zero = d == 0
+        X = _select13(d_zero, X, nX)
+        Y = _select13(d_zero, Y, nY)
+        ZZ = _select13(d_zero, ZZ, nZZ)
+        ZZZ = _select13(d_zero, ZZZ, nZZZ)
+        acc_inf = acc_inf * d_zero.astype(jnp.uint32)
+        return (stack(X), stack(Y), stack(ZZ), stack(ZZZ), acc_inf)
+
+    z = jnp.zeros((L13, 8, 128), jnp.uint32)
+    init = (z, z, z, z, jnp.ones((8, 128), jnp.uint32))
+    X_a, Y_a, ZZ_a, ZZZ_a, _ = jax.lax.fori_loop(0, n_windows, body, init)
+    x_ref[:, 0] = jnp.stack(_rows13_to16(rows(X_a)), axis=0)
+    y_ref[:, 0] = jnp.stack(_rows13_to16(rows(Y_a)), axis=0)
+    zz_ref[:, 0] = jnp.stack(_rows13_to16(rows(ZZ_a)), axis=0)
+    zzz_ref[:, 0] = jnp.stack(_rows13_to16(rows(ZZZ_a)), axis=0)
+
+
+@functools.lru_cache(maxsize=8)
+def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    windows, tsize = _n_windows(wbits), 1 << wbits
+    nb = n // tile
+    grid = (nb,)
+    return pl.pallas_call(
+        _smul13_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((windows, 1, 8, 128), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((windows, tsize, 2 * L13), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, 1, 8, 128), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, nb, 8, 128), jnp.uint32)
+            for _ in range(4)
+        ],
+        interpret=interpret,
+    )
+
+
+def scalar_mul_zz_pallas13(digits, tile: int = 1024, wbits: int = 8,
+                           interpret: bool = False):
+    """digits: (N, n_windows) uint32 wbits-wide windows (LSB window first)
+    -> (X, Y, ZZ, ZZZ) as (N, 16) 16-bit limb arrays (same contract as
+    pallas_smul.scalar_mul_zz_pallas)."""
+    n = digits.shape[0]
+    windows = _n_windows(wbits)
+    assert n % tile == 0, f"batch {n} not divisible by tile {tile}"
+    assert digits.shape[1] == windows, (digits.shape, wbits)
+    nb = n // tile
+    digits_t = digits.T.reshape(windows, nb, 8, 128)
+    table = jnp.asarray(_table13_f32(wbits))
+    X, Y, ZZ, ZZZ = _smul13_call(n, tile, wbits, interpret)(digits_t, table)
+
+    def back(a):
+        return a.reshape(16, n).T
+
+    return back(X), back(Y), back(ZZ), back(ZZZ)

@@ -63,12 +63,19 @@ def normalize_scalar(words):
     return out
 
 
-def scalar_digits(words):
-    """(..., 8) BE words -> (..., 32) byte windows, least significant first."""
+def scalar_digits(words, wbits: int = 8):
+    """(..., 8) BE words -> (..., n_windows) wbits-wide windows, LSB first."""
+    windows = -(-256 // wbits)
+    mask = np.uint32((1 << wbits) - 1)
     digs = []
-    for w in range(32):
-        word = words[..., 7 - w // 4]
-        digs.append((word >> np.uint32(8 * (w % 4))) & np.uint32(0xFF))
+    for w in range(windows):
+        b = wbits * w
+        wi = 7 - b // 32
+        off = b % 32
+        v = words[..., wi] >> np.uint32(off)
+        if off + wbits > 32 and wi >= 1:
+            v = v | (words[..., wi - 1] << np.uint32(32 - off))
+        digs.append(v & mask)
     return jnp.stack(digs, axis=-1)
 
 
@@ -92,16 +99,22 @@ def derive_pubkey(words, inv_chunk: int = 32, use_pallas: bool | None = None):
     The scalar multiplication runs in the fused Pallas kernel on TPU
     backends (10x the XLA-staged path) when the batch is tile-aligned.
     """
-    digits = scalar_digits(words)
     if use_pallas is None:
         use_pallas = use_pallas_default()
     n = words.shape[0] if words.ndim == 2 else None
     if use_pallas and n is not None and n % 1024 == 0:
         from .pallas_smul import scalar_mul_zz_pallas, to_affine_zz
-        X, Y, ZZ, ZZZ = scalar_mul_zz_pallas(digits)
+        from .tiled import use_smul13, window_bits
+        if use_smul13():
+            from .pallas_smul13 import scalar_mul_zz_pallas13
+            wbits = window_bits()
+            X, Y, ZZ, ZZZ = scalar_mul_zz_pallas13(
+                scalar_digits(words, wbits), wbits=wbits)
+        else:
+            X, Y, ZZ, ZZZ = scalar_mul_zz_pallas(scalar_digits(words))
         x, y = to_affine_zz(X, Y, ZZ, ZZZ, chunk=inv_chunk)
     else:
-        X, Y, Z = scalar_mul_base(digits)
+        X, Y, Z = scalar_mul_base(scalar_digits(words))
         x, y = to_affine(X, Y, Z, chunk=inv_chunk)
     x = fe_normalize(x)
     y = fe_normalize(y)

@@ -18,6 +18,23 @@ from . import ref
 from .pallas_smul import (_add_t, _carry_rows, _mul_t, _neg_t, _reduce_rows,
                           _sub_t, scalar_mul_zz_pallas, _smul_call, _table_f32)
 
+
+def use_smul13() -> bool:
+    """13-bit-limb scalar-mul kernel (1.24x the 16-bit one, bit-identical
+    outputs — see tools/bench_smul13.py) unless disabled via env."""
+    import os
+    return os.environ.get("VUKE_TPU_SMUL13", "1") not in ("0", "false", "no")
+
+
+def window_bits() -> int:
+    """Scalar-mul window width (13-bit kernel only; 16-bit kernel is
+    byte-window-only).  Wider windows = fewer point adds but a bigger
+    VMEM-resident table: 8 -> 32 adds/1.3MB, 10 -> 26 adds/4.3MB."""
+    import os
+    if not use_smul13():
+        return 8
+    return int(os.environ.get("VUKE_TPU_WINBITS", "8"))
+
 _N_WORDS = np.array([(ref.N >> (32 * (7 - i))) & 0xFFFFFFFF for i in range(8)],
                     dtype=np.uint32)
 
@@ -117,12 +134,22 @@ def _normalize_words_t(words_t):
     return out
 
 
-def _digits_t(words_t):
-    """(8, ...) BE words -> (32, ...) byte windows, least-significant first."""
+def _digits_t(words_t, wbits: int = 8):
+    """(8, ...) BE words -> (n_windows, ...) wbits-wide windows, LSB first.
+
+    Window w covers scalar bits [wbits*w, wbits*(w+1)); widths that don't
+    divide 32 straddle word boundaries (hence the two-word stitch)."""
+    windows = -(-256 // wbits)
+    mask = np.uint32((1 << wbits) - 1)
     digs = []
-    for w in range(32):
-        word = words_t[7 - w // 4]
-        digs.append((word >> np.uint32(8 * (w % 4))) & np.uint32(0xFF))
+    for w in range(windows):
+        b = wbits * w
+        wi = 7 - b // 32
+        off = b % 32
+        v = words_t[wi] >> np.uint32(off)
+        if off + wbits > 32 and wi >= 1:
+            v = v | (words_t[wi - 1] << np.uint32(32 - off))
+        digs.append(v & mask)
     return jnp.stack(digs, axis=0)
 
 
@@ -171,10 +198,17 @@ def derive_hash160s_tiled(seeds):
 
     kw_t = _mt_call(n)(seeds.reshape(nb, 8, 128))      # (8, nb, 8, 128)
     norm_t = _normalize_words_t(kw_t)
-    digits_t = _digits_t(norm_t)                       # (32, nb, 8, 128)
 
-    table = jnp.asarray(_table_f32())
-    X, Y, ZZ, ZZZ = _smul_call(n, 1024)(digits_t, table)  # (16, nb, 8, 128) x4
+    if use_smul13():
+        from .pallas_smul13 import _smul13_call, _table13_f32
+        wbits = window_bits()
+        digits_t = _digits_t(norm_t, wbits)            # (n_windows, nb, 8, 128)
+        table = jnp.asarray(_table13_f32(wbits))
+        X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits)(digits_t, table)
+    else:
+        digits_t = _digits_t(norm_t)                   # (32, nb, 8, 128)
+        table = jnp.asarray(_table_f32())
+        X, Y, ZZ, ZZZ = _smul_call(n, 1024)(digits_t, table)  # (16, nb, 8, 128) x4
 
     rowsof = lambda a: [a[i] for i in range(16)]
     T = _mul_t(rowsof(ZZ), rowsof(ZZZ))

@@ -56,7 +56,7 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: int,
-                full_mask: bool = False):
+                full_mask: bool = False, use_pallas: bool | None = None):
     """Module-level cache of the compiled derive+match program.
 
     Target pools enter as *arguments* (padded to power-of-two shapes) so
@@ -65,11 +65,21 @@ def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: i
 
     ``full_mask`` builds the rare-path variant returning the whole (N,)
     match mask — used only when a batch's hit count overflows
-    MAX_HITS_PER_BATCH, so no hit is ever silently dropped."""
+    MAX_HITS_PER_BATCH, so no hit is ever silently dropped.
+
+    ``use_pallas=False`` builds the XLA-staged fallback variant — the
+    runtime accelerator-error fallback (reference: main.rs:1577-1594
+    degrades GPU analyzers to CPU on pipeline errors)."""
+    from .ecc.pubkey import use_pallas_default
+    if use_pallas is False and not use_pallas_default():
+        # On CPU backends the default already resolves to the XLA path;
+        # collapsing to the None key avoids compiling an identical program
+        # twice (CPU compiles of this graph take ~80s each).
+        return _dm_program(match, collect, inv_chunk, win_c, win_u, full_mask)
 
     def fn(keys, valid, chi, clo, uhi, ulo):
         norm = normalize_scalar(keys)
-        d = derive_hash160s(norm, inv_chunk=inv_chunk)
+        d = derive_hash160s(norm, inv_chunk=inv_chunk, use_pallas=use_pallas)
         out = {"n_valid": valid.sum()}
         if match:
             fc = hash160_fragment(d["h160c"])
@@ -113,7 +123,17 @@ class DeriveMatcher:
             self._pool_args = (z, z, z, z)
 
     def run(self, keys, valid):
-        return self._fn(keys, valid, *self._pool_args)
+        try:
+            return self._fn(keys, valid, *self._pool_args)
+        except Exception as e:  # Mosaic/Pallas compile or runtime failure
+            from .telemetry import log
+            log().warning(
+                "Pallas derive program failed (%s: %s); falling back to the "
+                "XLA-staged path", type(e).__name__, e)
+            self._fn = _dm_program(self.match, self.collect_keys,
+                                   self.inv_chunk, *self._windows,
+                                   use_pallas=False)
+            return self._fn(keys, valid, *self._pool_args)
 
     def run_mask(self, keys, valid):
         """Rare path: full (N,) match mask for overflowed batches."""

@@ -29,6 +29,9 @@ import pyarrow.dataset as pads
 class QueryExecutor:
     def __init__(self, directory: str):
         self.directory = str(directory)
+        self._connect()
+
+    def _connect(self):
         self._files = sorted(
             glob.glob(os.path.join(self.directory, "**", "*.parquet"), recursive=True))
         if _HAVE_DUCKDB:
@@ -42,6 +45,16 @@ class QueryExecutor:
                 self._con = None
         else:
             self._con = self._build_sqlite()
+
+    def refresh(self):
+        """Re-scan the directory and rebuild the view (query.rs:refresh)."""
+        self._connect()
+
+    def has_data(self) -> bool:
+        return bool(self._files)
+
+    def discovered_files(self) -> List[str]:
+        return list(self._files)
 
     # -- sqlite fallback ----------------------------------------------------
 
