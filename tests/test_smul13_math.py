@@ -176,6 +176,16 @@ def _chain_numpy(ks, wbits=8):
 
 
 @pytest.mark.parametrize("wbits", [8, 10])
+def test_i8_table_planes_recombine(wbits):
+    """lo + (hi << 7) over the int8 two-plane table == the f32 table."""
+    t8 = m13._table13_i8(wbits).astype(np.int32)
+    lo, hi = t8[..., :2 * m13.L13], t8[..., 2 * m13.L13:]
+    assert (lo >= 0).all() and (lo <= 0x7F).all()
+    assert (hi >= 0).all() and (hi <= 0x3F).all()
+    assert np.array_equal(lo + (hi << 7), m13._table13_f32(wbits).astype(np.int32))
+
+
+@pytest.mark.parametrize("wbits", [8, 10])
 def test_digit_extraction(wbits):
     """tiled._digits_t and pubkey.scalar_digits vs Python bit slicing."""
     from vuke_tpu.ecc import tiled, pubkey

@@ -85,16 +85,18 @@ def digits_w(ks, wbits):
 def main():
     log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 17
     wbits = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    lookup = sys.argv[3] if len(sys.argv) > 3 else "i8"
     n = 1 << log2
     print(f"device: {jax.devices()[0].device_kind}, batch {n}, "
-          f"wbits {wbits}", flush=True)
+          f"wbits {wbits}, lookup {lookup}", flush=True)
     ks = interesting_scalars(n)
 
     from vuke_tpu.ecc.pallas_smul13 import scalar_mul_zz_pallas13
     from vuke_tpu.ecc.pallas_smul import scalar_mul_zz_pallas
 
-    f13 = jax.jit(lambda d: scalar_mul_zz_pallas13(d, wbits=wbits))
-    print(f"compiling 13-bit kernel (wbits={wbits})...", flush=True)
+    f13 = jax.jit(lambda d: scalar_mul_zz_pallas13(d, wbits=wbits,
+                                                   lookup=lookup))
+    print(f"compiling 13-bit kernel (wbits={wbits}, {lookup})...", flush=True)
     dt13, out13 = bench("smul13", f13, digits_w(ks, wbits))
     check_lanes("smul13", ks, *out13, lanes=list(range(12)) + [100, n - 1])
 

@@ -91,9 +91,13 @@ def prefix_main(log2):
                 return jnp.sum(digits_t, dtype=jnp.uint32)
             if use13:
                 from vuke_tpu.ecc.pallas_smul13 import (_smul13_call,
-                                                        _table13_f32)
-                table = jnp.asarray(_table13_f32(wbits))
-                X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits)(digits_t, table)
+                                                        _table13_f32,
+                                                        _table13_i8)
+                lookup = tiled.lookup_mode()
+                table = jnp.asarray(_table13_i8(wbits) if lookup == "i8"
+                                    else _table13_f32(wbits))
+                X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits, lookup=lookup)(
+                    digits_t, table)
             else:
                 from vuke_tpu.ecc.pallas_smul import _smul_call, _table_f32
                 table = jnp.asarray(_table_f32())

@@ -54,6 +54,21 @@ def _n_windows(wbits: int) -> int:
 
 
 @functools.lru_cache(maxsize=2)
+def _table13_i8(wbits: int = 8) -> np.ndarray:
+    """(n_windows, 2^wbits, 80) int8 two-plane window table.
+
+    Columns 0..39 hold limb & 0x7F (7-bit low plane), 40..79 hold
+    limb >> 7 (6-bit high plane).  One int8 MXU dot against a 0/1 one-hot
+    yields both planes exactly in int32 (each output accumulates a single
+    nonzero product <= 127); int8 dots run ~8x the f32 rate on the MXU, so
+    lookups stop scaling painfully with table size."""
+    t = _table13_f32(wbits).astype(np.int32)  # (w, tsize, 40), values < 2^13
+    lo = (t & 0x7F).astype(np.int8)
+    hi = (t >> 7).astype(np.int8)
+    return np.concatenate([lo, hi], axis=-1)
+
+
+@functools.lru_cache(maxsize=2)
 def _table13_f32(wbits: int = 8) -> np.ndarray:
     """(n_windows, 2^wbits, 40) float32 fixed-base window table:
     entry [w, d] = affine (x limbs 0..19, y limbs 20..39, 13-bit) of
@@ -264,17 +279,27 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref):
         ZZ, ZZZ = rows(ZZ_a), rows(ZZZ_a)
 
         d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
-        tab_w = table_ref[pl.ds(w, 1), :, :].reshape(tsize, 2 * L13)
+        int8_planes = table_ref.dtype == jnp.int8
+        tab_w = table_ref[pl.ds(w, 1), :, :].reshape(tsize, table_ref.shape[2])
         entry_groups = []
         for a in range(8):
             d_a = d[a:a + 1, :]
-            onehot = (d_a == iota2).astype(jnp.float32)
-            e = jax.lax.dot_general(
-                tab_w, onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)      # (40, 128)
-            entry_groups.append(e.astype(jnp.int32).astype(jnp.uint32))
+            if int8_planes:
+                onehot = (d_a == iota2).astype(jnp.int8)
+                e = jax.lax.dot_general(
+                    tab_w, onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)    # (80, 128)
+                e = e[:2 * L13] + (e[2 * L13:] << 7)     # lo + (hi << 7)
+                entry_groups.append(e.astype(jnp.uint32))
+            else:
+                onehot = (d_a == iota2).astype(jnp.float32)
+                e = jax.lax.dot_general(
+                    tab_w, onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # (40, 128)
+                entry_groups.append(e.astype(jnp.int32).astype(jnp.uint32))
         x2 = [jnp.concatenate([entry_groups[a][i:i + 1, :] for a in range(8)],
                               axis=0) for i in range(L13)]
         y2 = [jnp.concatenate([entry_groups[a][L13 + i:L13 + i + 1, :]
@@ -318,11 +343,13 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref):
 
 
 @functools.lru_cache(maxsize=8)
-def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False):
+def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False,
+                 lookup: str = "i8"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     windows, tsize = _n_windows(wbits), 1 << wbits
+    tab_cols = 4 * L13 if lookup == "i8" else 2 * L13
     nb = n // tile
     grid = (nb,)
     return pl.pallas_call(
@@ -331,7 +358,7 @@ def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((windows, 1, 8, 128), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((windows, tsize, 2 * L13), lambda i: (0, 0, 0),
+            pl.BlockSpec((windows, tsize, tab_cols), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -348,7 +375,7 @@ def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False):
 
 
 def scalar_mul_zz_pallas13(digits, tile: int = 1024, wbits: int = 8,
-                           interpret: bool = False):
+                           interpret: bool = False, lookup: str = "i8"):
     """digits: (N, n_windows) uint32 wbits-wide windows (LSB window first)
     -> (X, Y, ZZ, ZZZ) as (N, 16) 16-bit limb arrays (same contract as
     pallas_smul.scalar_mul_zz_pallas)."""
@@ -358,8 +385,10 @@ def scalar_mul_zz_pallas13(digits, tile: int = 1024, wbits: int = 8,
     assert digits.shape[1] == windows, (digits.shape, wbits)
     nb = n // tile
     digits_t = digits.T.reshape(windows, nb, 8, 128)
-    table = jnp.asarray(_table13_f32(wbits))
-    X, Y, ZZ, ZZZ = _smul13_call(n, tile, wbits, interpret)(digits_t, table)
+    table = jnp.asarray(_table13_i8(wbits) if lookup == "i8"
+                        else _table13_f32(wbits))
+    X, Y, ZZ, ZZZ = _smul13_call(n, tile, wbits, interpret, lookup)(
+        digits_t, table)
 
     def back(a):
         return a.reshape(16, n).T

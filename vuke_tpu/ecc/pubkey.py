@@ -104,12 +104,13 @@ def derive_pubkey(words, inv_chunk: int = 32, use_pallas: bool | None = None):
     n = words.shape[0] if words.ndim == 2 else None
     if use_pallas and n is not None and n % 1024 == 0:
         from .pallas_smul import scalar_mul_zz_pallas, to_affine_zz
-        from .tiled import use_smul13, window_bits
+        from .tiled import use_smul13, window_bits, lookup_mode
         if use_smul13():
             from .pallas_smul13 import scalar_mul_zz_pallas13
             wbits = window_bits()
             X, Y, ZZ, ZZZ = scalar_mul_zz_pallas13(
-                scalar_digits(words, wbits), wbits=wbits)
+                scalar_digits(words, wbits), wbits=wbits,
+                lookup=lookup_mode())
         else:
             X, Y, ZZ, ZZZ = scalar_mul_zz_pallas(scalar_digits(words))
         x, y = to_affine_zz(X, Y, ZZ, ZZZ, chunk=inv_chunk)

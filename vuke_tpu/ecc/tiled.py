@@ -28,12 +28,20 @@ def use_smul13() -> bool:
 
 def window_bits() -> int:
     """Scalar-mul window width (13-bit kernel only; 16-bit kernel is
-    byte-window-only).  Wider windows = fewer point adds but a bigger
-    VMEM-resident table: 8 -> 32 adds/1.3MB, 10 -> 26 adds/4.3MB."""
+    byte-window-only).  Wider windows = fewer point adds but bigger tables
+    and lookup cost; with int8 two-plane lookups w10 measures fastest
+    (15.0ms vs 15.7 w8 vs 17.8 f32-w8 per 2^17 on v5e)."""
     import os
     if not use_smul13():
         return 8
-    return int(os.environ.get("VUKE_TPU_WINBITS", "8"))
+    return int(os.environ.get("VUKE_TPU_WINBITS", "10"))
+
+
+def lookup_mode() -> str:
+    """Window-table lookup: 'i8' two-plane int8 MXU dots (8x the f32 MXU
+    rate; lookups were ~17% of the w8 kernel in f32) or 'f32' one-hot."""
+    import os
+    return os.environ.get("VUKE_TPU_LOOKUP", "i8")
 
 _N_WORDS = np.array([(ref.N >> (32 * (7 - i))) & 0xFFFFFFFF for i in range(8)],
                     dtype=np.uint32)
@@ -200,11 +208,13 @@ def derive_hash160s_tiled(seeds):
     norm_t = _normalize_words_t(kw_t)
 
     if use_smul13():
-        from .pallas_smul13 import _smul13_call, _table13_f32
-        wbits = window_bits()
+        from .pallas_smul13 import _smul13_call, _table13_f32, _table13_i8
+        wbits, lookup = window_bits(), lookup_mode()
         digits_t = _digits_t(norm_t, wbits)            # (n_windows, nb, 8, 128)
-        table = jnp.asarray(_table13_f32(wbits))
-        X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits)(digits_t, table)
+        table = jnp.asarray(_table13_i8(wbits) if lookup == "i8"
+                            else _table13_f32(wbits))
+        X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits, lookup=lookup)(
+            digits_t, table)
     else:
         digits_t = _digits_t(norm_t)                   # (32, nb, 8, 128)
         table = jnp.asarray(_table_f32())
