@@ -148,18 +148,7 @@ def _chain_numpy(ks, wbits=8):
         x2 = [ei[:, i] for i in range(m13.L13)]
         y2 = [ei[:, m13.L13 + i] for i in range(m13.L13)]
 
-        U2 = m13._mul13(x2, ZZ)
-        S2 = m13._mul13(y2, ZZZ)
-        H = m13._sub13(U2, X)
-        R = m13._sub13(S2, Y)
-        HH = m13._sqr13(H)
-        HHH = m13._mul13(H, HH)
-        V = m13._mul13(X, HH)
-        X3 = m13._sub13(m13._sub13(m13._sqr13(R), HHH), m13._add13(V, V))
-        Y3 = m13._sub13(m13._mul13(R, m13._sub13(V, X3)),
-                        m13._mul13(Y, HHH))
-        ZZ3 = m13._mul13(ZZ, HH)
-        ZZZ3 = m13._mul13(ZZZ, HHH)
+        X3, Y3, ZZ3, ZZZ3 = m13._madd13(X, Y, ZZ, ZZZ, x2, y2)
 
         inf_b = acc_inf != 0
         nX = m13._select13(inf_b, x2, X3)

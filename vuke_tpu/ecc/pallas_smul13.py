@@ -167,8 +167,12 @@ def _reduce13(cols):
     return _fold_tail13(limbs[:20], extras)
 
 
-def _mul13(a, b):
-    """Field mul of 13-bit limb-row lists (inputs: limbs <= 0x1FFF)."""
+def _mul13_cols(a, b):
+    """Raw 39 schoolbook product columns (each <= 20 * (2^13-1)^2 < 2^30.7).
+
+    Column sums stay far enough below the _carry13 bound (2^32 - 2^19)
+    that callers may add a second product's columns and/or a few 13/14-bit
+    limb rows before reducing — the basis of the fused formulas below."""
     cols = [None] * 39
     for i in range(L13):
         ai = a[i]
@@ -176,12 +180,12 @@ def _mul13(a, b):
             p = ai * b[j]                              # <= 2^26.34, no split
             k = i + j
             cols[k] = p if cols[k] is None else cols[k] + p
-    return _reduce13(cols)
+    return cols
 
 
-def _sqr13(a):
-    """Squaring via the symmetric schoolbook: cross terms use a pre-doubled
-    operand (2a_j <= 2^14, product <= 2^27.34, column sums still < 2^32:
+def _sqr13_cols(a):
+    """Raw squaring columns via the symmetric schoolbook: cross terms use a
+    pre-doubled operand (2a_j <= 2^14, product <= 2^27.34, column sums
     <= 9 doubled cross terms + 1 diagonal per column < 10 * 2^27.4)."""
     d = [a[j] + a[j] for j in range(L13)]
     cols = [None] * 39
@@ -194,7 +198,23 @@ def _sqr13(a):
             p = ai * d[j]
             k = i + j
             cols[k] = p if cols[k] is None else cols[k] + p
-    return _reduce13(cols)
+    return cols
+
+
+def _add_rows_into(cols, rows):
+    """Add 20 limb rows (each < 2^15) into the low columns, in place."""
+    for i in range(L13):
+        cols[i] = cols[i] + rows[i]
+    return cols
+
+
+def _mul13(a, b):
+    """Field mul of 13-bit limb-row lists (inputs: limbs <= 0x1FFF)."""
+    return _reduce13(_mul13_cols(a, b))
+
+
+def _sqr13(a):
+    return _reduce13(_sqr13_cols(a))
 
 
 def _add13(a, b):
@@ -234,6 +254,38 @@ def _sub13(a, b):
 
 def _select13(cond, a, b):
     return [jnp.where(cond, a[i], b[i]) for i in range(L13)]
+
+
+def _madd13(X, Y, ZZ, ZZZ, x2, y2):
+    """Fused (ZZ, ZZZ)-coordinate mixed addition: 8M + 2S with the
+    add/sub passes folded into the product reductions.
+
+    Identities used (mod p, with n* = 4p - * from _neg13):
+      H  = x2*ZZ + nX          (one reduce instead of mul-reduce + sub)
+      R  = y2*ZZZ + nY
+      X3 = R^2 + nHHH + 2*nV   (nV limbs doubled pre-add: <= 2^14, still
+                                within _carry13's column budget)
+      Y3 = R*(V - X3) + nY*HHH (two raw products summed, ONE reduce;
+                                columns <= 40*(2^13-1)^2 < 2^31.4)
+    Saves ~11% of the window's vector ops vs separate _sub13/_add13 calls.
+    """
+    nX = _neg13(X)
+    nY = _neg13(Y)
+    H = _reduce13(_add_rows_into(_mul13_cols(x2, ZZ), nX))
+    R = _reduce13(_add_rows_into(_mul13_cols(y2, ZZZ), nY))
+    HH = _sqr13(H)
+    HHH = _mul13(H, HH)
+    V = _mul13(X, HH)
+    nHHH = _neg13(HHH)
+    nV2 = [v + v for v in _neg13(V)]
+    X3 = _reduce13(_add_rows_into(
+        _add_rows_into(_sqr13_cols(R), nHHH), nV2))
+    y3cols = _mul13_cols(R, _sub13(V, X3))
+    y3b = _mul13_cols(nY, HHH)
+    Y3 = _reduce13([y3cols[k] + y3b[k] for k in range(39)])
+    ZZ3 = _mul13(ZZ, HH)
+    ZZZ3 = _mul13(ZZZ, HHH)
+    return X3, Y3, ZZ3, ZZZ3
 
 
 def _rows13_to16(rows13):
@@ -305,18 +357,8 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref):
         y2 = [jnp.concatenate([entry_groups[a][L13 + i:L13 + i + 1, :]
                                for a in range(8)], axis=0) for i in range(L13)]
 
-        # mixed add in (ZZ, ZZZ) coordinates: 8M + 2S
-        U2 = _mul13(x2, ZZ)
-        S2 = _mul13(y2, ZZZ)
-        H = _sub13(U2, X)
-        R = _sub13(S2, Y)
-        HH = _sqr13(H)
-        HHH = _mul13(H, HH)
-        V = _mul13(X, HH)
-        X3 = _sub13(_sub13(_sqr13(R), HHH), _add13(V, V))
-        Y3 = _sub13(_mul13(R, _sub13(V, X3)), _mul13(Y, HHH))
-        ZZ3 = _mul13(ZZ, HH)
-        ZZZ3 = _mul13(ZZZ, HHH)
+        # fused mixed add in (ZZ, ZZZ) coordinates: 8M + 2S
+        X3, Y3, ZZ3, ZZZ3 = _madd13(X, Y, ZZ, ZZZ, x2, y2)
 
         one_rows = [jnp.full((8, 128), np.uint32(1) if i == 0 else np.uint32(0),
                              dtype=jnp.uint32) for i in range(L13)]
