@@ -130,23 +130,32 @@ def test_rows13_to16_roundtrip():
         assert got == v, hex(v)
 
 
-def _chain_numpy(ks, wbits=8):
+def _chain_numpy(ks, wbits=8, signed=False):
     """Replicate the kernel's per-window (ZZ, ZZZ) loop on (n,) numpy rows."""
-    tab = m13._table13_f32(wbits)  # (n_windows, 2^wbits, 40) f32
+    tab = m13._table13_f32(wbits, signed)  # (n_windows, tsize, 40) f32
     mask = (1 << wbits) - 1
     n = len(ks)
+    windows = m13._n_windows(wbits)
+    digs = [np.array([(k >> (wbits * w)) & mask for k in ks],
+                     dtype=np.uint32) for w in range(windows)]
+    if signed:
+        digs = m13.signed_encode(digs, wbits)
     zero = [np.zeros((n,), dtype=np.uint32) for _ in range(m13.L13)]
     one = [np.full((n,), np.uint32(1 if i == 0 else 0), dtype=np.uint32)
            for i in range(m13.L13)]
     X, Y, ZZ, ZZZ = list(zero), list(zero), list(zero), list(zero)
     acc_inf = np.ones((n,), dtype=np.uint32)
-    for w in range(m13._n_windows(wbits)):
-        d = np.array([(k >> (wbits * w)) & mask for k in ks], dtype=np.uint32)
+    for w in range(windows):
+        d = digs[w]
+        idx = d & np.uint32(0x7FFF) if signed else d
         # table lookup: f32-exact int conversion, as the MXU one-hot dot does
-        entry = tab[w, d, :]  # (n, 40)
+        entry = tab[w, idx, :]  # (n, 40)
         ei = entry.astype(np.int32).astype(np.uint32)
         x2 = [ei[:, i] for i in range(m13.L13)]
         y2 = [ei[:, m13.L13 + i] for i in range(m13.L13)]
+        if signed:
+            sign = (d >> np.uint32(15)) != 0
+            y2 = m13._select13(sign, m13._neg13(y2), y2)
 
         X3, Y3, ZZ3, ZZZ3 = m13._madd13(X, Y, ZZ, ZZZ, x2, y2)
 
@@ -191,14 +200,36 @@ def test_digit_extraction(wbits):
     assert np.array_equal(got, expect)
 
 
-@pytest.mark.parametrize("wbits", [8, 10])
-def test_chain_matches_oracle(wbits):
+@pytest.mark.parametrize("wbits", [10, 11])
+def test_signed_encode_reconstructs(wbits):
+    ks = [0, 1, 2, (1 << 256) - 1, ref.N - 1, ref.GX,
+          0x3FF, 0x400, 0x401, (0x3FF << 10) | 0x3FF] + _rand_vals(16, seed=7)
+    windows = m13._n_windows(wbits)
+    mask = (1 << wbits) - 1
+    digs = [np.array([(k >> (wbits * w)) & mask for k in ks],
+                     dtype=np.uint32) for w in range(windows)]
+    enc = m13.signed_encode(digs, wbits)
+    half = 1 << (wbits - 1)
+    for j, k in enumerate(ks):
+        total = 0
+        for w in range(windows):
+            e = int(enc[w][j])
+            mag, sign = e & 0x7FFF, e >> 15
+            assert mag <= half
+            assert not (mag == 0 and sign)
+            total += (-mag if sign else mag) << (wbits * w)
+        assert total == k, hex(k)
+
+
+@pytest.mark.parametrize("wbits,signed", [(8, False), (10, False),
+                                          (10, True), (11, True)])
+def test_chain_matches_oracle(wbits, signed):
     ks = [1, 2, 3, 255, 256, 257, 0xDEADBEEF, 1 << 128, (1 << 255) + 12345,
           ref.N - 1, ref.N - 2, 0x100000000, 0x1000000000000,
           1 << 250, (1 << 256) - (1 << 230)]
     ks = [k % ref.N or 1 for k in ks]
     ks += [v % (ref.N - 1) + 1 for v in _rand_vals(9, seed=5)]
-    X, Y, ZZ, ZZZ = _chain_numpy(ks, wbits)
+    X, Y, ZZ, ZZZ = _chain_numpy(ks, wbits, signed)
     x16 = m13._rows13_to16(X)
     y16 = m13._rows13_to16(Y)
     zz16 = m13._rows13_to16(ZZ)

@@ -342,3 +342,147 @@ class TestStorageOutput:
         s1, s2 = o1.finish(), o2.finish()
         assert (sum(os.path.getsize(p) for p in s1.paths)
                 < sum(os.path.getsize(p) for p in s2.paths))
+
+
+# --- storage/schema.rs test mod (schema.rs:270-560) ---------------------------
+
+class TestArrowSchema:
+    def test_schema_has_19_fields(self):
+        assert len(result_schema()) == 19
+
+    def test_schema_field_names(self):
+        assert result_schema().names == [
+            "source", "transform", "chain", "timestamp", "matched_target",
+            "private_key_raw", "private_key_hex", "private_key_decimal",
+            "private_key_binary", "private_key_bit_length",
+            "private_key_hamming_weight", "private_key_leading_zeros",
+            "pubkey_compressed", "pubkey_uncompressed",
+            "address_p2pkh_compressed", "address_p2pkh_uncompressed",
+            "address_p2wpkh", "wif_compressed", "wif_uncompressed"]
+
+    def test_schema_field_types(self):
+        import pyarrow as pa
+        s = result_schema()
+        for i in (0, 1, 2, 4, 6, 7, 8):
+            assert s.field(i).type == pa.string()
+        assert s.field(3).type == pa.timestamp("ms", tz="UTC")
+        assert s.field(5).type == pa.binary(32)
+        assert s.field(9).type == pa.uint16()
+        assert s.field(10).type == pa.uint16()
+        assert s.field(11).type == pa.uint8()
+        for i in range(12, 19):
+            assert s.field(i).type == pa.string()
+
+    def test_schema_nullable_flags(self):
+        s = result_schema()
+        for i in (0, 1, 2, 3, 5, 6, 7, 8, 9, 10, 11):
+            assert not s.field(i).nullable, i
+        for i in (4, 12, 13, 14, 15, 16, 17, 18):
+            assert s.field(i).nullable, i
+
+    def test_records_to_batch_empty(self):
+        from vuke_tpu.storage.records import records_to_batch
+        assert records_to_batch([]).num_rows == 0
+
+    def test_records_to_batch_single_record(self, derived):
+        from vuke_tpu.storage.records import records_to_batch
+        batch = records_to_batch(_records(derived, 1))
+        assert batch.num_rows == 1
+        assert batch.column(0).to_pylist() == ["source_0"]
+
+    def test_records_to_batch_matched_target_null_and_set(self, derived):
+        from vuke_tpu.storage.records import records_to_batch
+        batch = records_to_batch(_records(derived, 2, matched=1))
+        assert batch.column(4).to_pylist() == ["1TargetAddr", None]
+
+    def test_records_to_batch_empty_slices(self, derived):
+        # schema.rs:541-560: missing derivations land as nulls
+        from vuke_tpu.storage.records import records_to_batch
+        r = _records(derived, 1)[0]
+        r.pubkey_compressed = None
+        r.address_p2pkh_compressed = None
+        r.wif_uncompressed = None
+        batch = records_to_batch([r])
+        assert batch.column(12).to_pylist() == [None]
+        assert batch.column(14).to_pylist() == [None]
+        assert batch.column(18).to_pylist() == [None]
+
+    def test_records_to_batch_multiple_records(self, derived):
+        from vuke_tpu.storage.records import records_to_batch
+        batch = records_to_batch(_records(derived, 5))
+        assert batch.num_rows == 5
+        assert batch.column(5).to_pylist() == [b"\xab" * 32] * 5
+
+
+# --- storage/iceberg/schema.rs test mod ---------------------------------------
+
+class TestIcebergSchema:
+    def _fields(self):
+        from vuke_tpu.storage.iceberg import iceberg_schema_json
+        return iceberg_schema_json()["fields"]
+
+    def test_build_schema_succeeds(self):
+        fields = self._fields()
+        assert len(fields) == 19
+
+    def test_schema_field_names_match_arrow(self):
+        assert [f["name"] for f in self._fields()] == result_schema().names
+
+    def test_required_fields_not_nullable(self):
+        req = {f["name"] for f in self._fields() if f["required"]}
+        arrow_req = {f.name for f in result_schema() if not f.nullable}
+        assert req == arrow_req
+
+    def test_private_key_raw_is_binary(self):
+        (f,) = [f for f in self._fields() if f["name"] == "private_key_raw"]
+        assert f["type"] == "binary" and f["required"]
+
+    def test_timestamp_is_timestamptz(self):
+        (f,) = [f for f in self._fields() if f["name"] == "timestamp"]
+        assert f["type"] == "timestamptz"
+
+    def test_field_ids_sequential(self):
+        assert [f["id"] for f in self._fields()] == list(range(1, 20))
+
+    def test_partition_spec_source_ids(self):
+        # identity(transform)=field 2, day(timestamp)=field 4
+        from vuke_tpu.storage.iceberg import partition_spec_json
+        spec = partition_spec_json()["fields"]
+        assert spec[0]["transform"] == "identity" and spec[0]["source-id"] == 2
+        assert spec[1]["transform"] == "day" and spec[1]["source-id"] == 4
+
+
+# --- storage/cloud/mod.rs test mod (cloud/mod.rs:109-158) ----------------------
+
+class TestCloudConfig:
+    def test_cloud_config_defaults(self):
+        from vuke_tpu.storage.cloud import CloudConfig
+        c = CloudConfig(bucket="test-bucket")
+        assert c.bucket == "test-bucket"
+        assert c.endpoint is None and c.prefix is None
+        assert not c.delete_local
+        assert c.max_retries == 5
+        assert not c.fail_fast
+
+    def test_cloud_config_builder(self):
+        from vuke_tpu.storage.cloud import CloudConfig
+        c = CloudConfig(bucket="my-bucket", endpoint="https://s3.example.com",
+                        prefix="vuke/results", delete_local=True,
+                        max_retries=3, fail_fast=True)
+        assert (c.bucket, c.endpoint, c.prefix) == (
+            "my-bucket", "https://s3.example.com", "vuke/results")
+        assert c.delete_local and c.fail_fast and c.max_retries == 3
+
+    def test_cloud_path_url_with_endpoint(self):
+        from vuke_tpu.storage.cloud import CloudPath
+        assert (CloudPath("bucket", "a/b.parquet").url("https://e.com")
+                == "https://e.com/bucket/a/b.parquet")
+
+    def test_cloud_path_url_without_endpoint(self):
+        from vuke_tpu.storage.cloud import CloudPath
+        assert CloudPath("bucket", "k").url() == "s3://bucket/k"
+
+    def test_cloud_path_url_strips_trailing_slash(self):
+        from vuke_tpu.storage.cloud import CloudPath
+        assert (CloudPath("bucket", "file.parquet").url("https://example.com/")
+                == "https://example.com/bucket/file.parquet")

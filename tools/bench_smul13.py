@@ -86,18 +86,28 @@ def main():
     log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 17
     wbits = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     lookup = sys.argv[3] if len(sys.argv) > 3 else "i8"
+    signed = len(sys.argv) > 4 and sys.argv[4] == "signed"
     n = 1 << log2
     print(f"device: {jax.devices()[0].device_kind}, batch {n}, "
-          f"wbits {wbits}, lookup {lookup}", flush=True)
+          f"wbits {wbits}, lookup {lookup}, signed {signed}", flush=True)
     ks = interesting_scalars(n)
 
-    from vuke_tpu.ecc.pallas_smul13 import scalar_mul_zz_pallas13
+    from vuke_tpu.ecc.pallas_smul13 import (scalar_mul_zz_pallas13,
+                                            signed_encode)
     from vuke_tpu.ecc.pallas_smul import scalar_mul_zz_pallas
 
     f13 = jax.jit(lambda d: scalar_mul_zz_pallas13(d, wbits=wbits,
-                                                   lookup=lookup))
-    print(f"compiling 13-bit kernel (wbits={wbits}, {lookup})...", flush=True)
-    dt13, out13 = bench("smul13", f13, digits_w(ks, wbits))
+                                                   lookup=lookup,
+                                                   signed=signed))
+    print(f"compiling 13-bit kernel (wbits={wbits}, {lookup}, "
+          f"signed={signed})...", flush=True)
+    du = digits_w(ks, wbits)
+    if signed:
+        digs = jnp.stack(signed_encode([du[:, w] for w in range(du.shape[1])],
+                                       wbits), axis=-1)
+    else:
+        digs = du
+    dt13, out13 = bench("smul13", f13, digs)
     check_lanes("smul13", ks, *out13, lanes=list(range(12)) + [100, n - 1])
 
     f16 = jax.jit(scalar_mul_zz_pallas)
@@ -108,7 +118,7 @@ def main():
     # decomposition -> identical accumulation chain only when wbits == 8;
     # other widths produce different-but-valid (ZZ, ZZZ) representatives,
     # hence the oracle check above instead)
-    if wbits == 8:
+    if wbits == 8 and not signed:
         same = all(np.array_equal(np.asarray(a), np.asarray(b))
                    for a, b in zip(out13, out16))
         print(f"bit-identical outputs across all {n} lanes: {same}",

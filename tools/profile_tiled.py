@@ -86,7 +86,8 @@ def prefix_main(log2):
             if k == 1:
                 return jnp.sum(kw_t, dtype=jnp.uint32)
             norm_t = tiled._normalize_words_t(kw_t)
-            digits_t = tiled._digits_t(norm_t, wbits if use13 else 8)
+            signed = tiled.signed_digits() if use13 else False
+            digits_t = tiled._digits_t(norm_t, wbits if use13 else 8, signed)
             if k == 2:
                 return jnp.sum(digits_t, dtype=jnp.uint32)
             if use13:
@@ -94,10 +95,11 @@ def prefix_main(log2):
                                                         _table13_f32,
                                                         _table13_i8)
                 lookup = tiled.lookup_mode()
-                table = jnp.asarray(_table13_i8(wbits) if lookup == "i8"
-                                    else _table13_f32(wbits))
-                X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits, lookup=lookup)(
-                    digits_t, table)
+                table = jnp.asarray(_table13_i8(wbits, signed)
+                                    if lookup == "i8"
+                                    else _table13_f32(wbits, signed))
+                X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits, lookup=lookup,
+                                             signed=signed)(digits_t, table)
             else:
                 from vuke_tpu.ecc.pallas_smul import _smul_call, _table_f32
                 table = jnp.asarray(_table_f32())

@@ -53,32 +53,44 @@ def _n_windows(wbits: int) -> int:
     return -(-256 // wbits)
 
 
-@functools.lru_cache(maxsize=2)
-def _table13_i8(wbits: int = 8) -> np.ndarray:
-    """(n_windows, 2^wbits, 80) int8 two-plane window table.
+def _signed_tsize(wbits: int) -> int:
+    """Signed-digit table rows: |d| in 0..2^(wbits-1), padded to a multiple
+    of 8 sublanes."""
+    return (((1 << (wbits - 1)) + 1 + 7) // 8) * 8
+
+
+@functools.lru_cache(maxsize=4)
+def _table13_i8(wbits: int = 8, signed: bool = False) -> np.ndarray:
+    """(n_windows, tsize, 80) int8 two-plane window table.
 
     Columns 0..39 hold limb & 0x7F (7-bit low plane), 40..79 hold
     limb >> 7 (6-bit high plane).  One int8 MXU dot against a 0/1 one-hot
     yields both planes exactly in int32 (each output accumulates a single
     nonzero product <= 127); int8 dots run ~8x the f32 rate on the MXU, so
-    lookups stop scaling painfully with table size."""
-    t = _table13_f32(wbits).astype(np.int32)  # (w, tsize, 40), values < 2^13
+    lookups stop scaling painfully with table size.
+
+    ``signed``: entries cover |d| in 1..2^(wbits-1) only (signed-digit
+    recoding negates y in-kernel), halving the lookup cost again."""
+    t = _table13_f32(wbits, signed).astype(np.int32)  # (w, tsize, 40)
     lo = (t & 0x7F).astype(np.int8)
     hi = (t >> 7).astype(np.int8)
     return np.concatenate([lo, hi], axis=-1)
 
 
-@functools.lru_cache(maxsize=2)
-def _table13_f32(wbits: int = 8) -> np.ndarray:
-    """(n_windows, 2^wbits, 40) float32 fixed-base window table:
+@functools.lru_cache(maxsize=4)
+def _table13_f32(wbits: int = 8, signed: bool = False) -> np.ndarray:
+    """(n_windows, tsize, 40) float32 fixed-base window table:
     entry [w, d] = affine (x limbs 0..19, y limbs 20..39, 13-bit) of
-    d * 2^(wbits*w) * G.  Entry d=0 is (0, 0) — never selected."""
-    windows, tsize = _n_windows(wbits), 1 << wbits
+    d * 2^(wbits*w) * G.  Entry d=0 is (0, 0) — never selected.
+    ``signed``: d covers 1..2^(wbits-1) only (rows padded to 8)."""
+    windows = _n_windows(wbits)
+    tsize = _signed_tsize(wbits) if signed else (1 << wbits)
+    dmax = (1 << (wbits - 1)) if signed else (1 << wbits) - 1
     out = np.zeros((windows, tsize, 2 * L13), dtype=np.float32)
     base = (ref.GX, ref.GY)
     for w in range(windows):
         acc = None
-        for d in range(1, tsize):
+        for d in range(1, dmax + 1):
             acc = ref.point_add(acc, base)
             x, y = acc
             for i in range(L13):
@@ -86,6 +98,32 @@ def _table13_f32(wbits: int = 8) -> np.ndarray:
                 out[w, d, L13 + i] = (y >> (13 * i)) & 0x1FFF
         for _ in range(wbits):
             base = ref.point_add(base, base)
+    return out
+
+
+def signed_encode(unsigned_digits, wbits: int):
+    """Recode unsigned windows into signed digits d in [-2^(wbits-1),
+    2^(wbits-1)], encoded |d| | (sign << 15); |d| == 0 encodes as 0
+    regardless of sign so digit-0 lanes still skip.
+
+    Invariant per step (t = u_w + carry): t <= half keeps d = t; else
+    d = t - 2^wbits (so |d| = 2^wbits - t <= half - 1) with carry 1 into
+    the next window.  Requires n_windows*wbits >= 258 so the top window
+    (<= wbits-2 scalar bits + carry) can never go negative — byte windows
+    (32*8 == 256) cannot be signed-recoded."""
+    windows = len(unsigned_digits)
+    assert windows * wbits >= 258, "signed digits need >= 2 spare top bits"
+    half = np.uint32(1 << (wbits - 1))
+    full = np.uint32(1 << wbits)
+    out = []
+    carry = None
+    for u in unsigned_digits:
+        t = u if carry is None else u + carry
+        neg = t > half
+        mag = jnp.where(neg, full - t, t)
+        sign_bit = neg.astype(jnp.uint32) << np.uint32(15)
+        out.append(jnp.where(mag == 0, jnp.zeros_like(mag), mag | sign_bit))
+        carry = neg.astype(jnp.uint32)
     return out
 
 
@@ -167,19 +205,48 @@ def _reduce13(cols):
     return _fold_tail13(limbs[:20], extras)
 
 
-def _mul13_cols(a, b):
-    """Raw 39 schoolbook product columns (each <= 20 * (2^13-1)^2 < 2^30.7).
-
-    Column sums stay far enough below the _carry13 bound (2^32 - 2^19)
-    that callers may add a second product's columns and/or a few 13/14-bit
-    limb rows before reducing — the basis of the fused formulas below."""
-    cols = [None] * 39
-    for i in range(L13):
+def _school_cols(a, b):
+    """Raw schoolbook columns of two equal-length limb lists."""
+    n = len(a)
+    cols = [None] * (2 * n - 1)
+    for i in range(n):
         ai = a[i]
-        for j in range(L13):
+        for j in range(n):
             p = ai * b[j]                              # <= 2^26.34, no split
             k = i + j
             cols[k] = p if cols[k] is None else cols[k] + p
+    return cols
+
+
+def _mul13_cols(a, b, kara: bool = True):
+    """Raw 39 product columns.
+
+    ``kara=True`` (default): one Karatsuba level (10+10 limbs).  The
+    middle columns are m - z0 - z2 computed in wrapping uint32 — exact
+    because the identity holds columnwise over non-negative integers.
+    Column bound: z1 <= 10*(2^14-2)^2 plus an overlapping z0/z2 column
+    <= 10*(2^13-1)^2, total < 3.36e9 — under the _carry13 bound
+    (2^32 - 2^19) with room for the fused 13/14-bit limb-row adds, but
+    NOT for summing with a second product's columns.
+
+    ``kara=False``: plain schoolbook, columns <= 20*(2^13-1)^2 < 2^30.7,
+    so TWO such column sets can be summed before one reduction (the Y3
+    fusion in _madd13 relies on this)."""
+    if not kara:
+        return _school_cols(a, b)
+    h = L13 // 2
+    a0, a1 = a[:h], a[h:]
+    b0, b1 = b[:h], b[h:]
+    z0 = _school_cols(a0, b0)                          # cols 0..18
+    z2 = _school_cols(a1, b1)                          # cols 20..38
+    sa = [a0[i] + a1[i] for i in range(h)]             # <= 2^14 - 2
+    sb = [b0[i] + b1[i] for i in range(h)]
+    m = _school_cols(sa, sb)                           # <= 10 * 2^28
+    z1 = [m[k] - z0[k] - z2[k] for k in range(2 * h - 1)]  # exact, >= 0
+    cols = list(z0) + [None] + list(z2)
+    for k in range(2 * h - 1):
+        t = k + h
+        cols[t] = z1[k] if cols[t] is None else cols[t] + z1[k]
     return cols
 
 
@@ -280,8 +347,9 @@ def _madd13(X, Y, ZZ, ZZZ, x2, y2):
     nV2 = [v + v for v in _neg13(V)]
     X3 = _reduce13(_add_rows_into(
         _add_rows_into(_sqr13_cols(R), nHHH), nV2))
-    y3cols = _mul13_cols(R, _sub13(V, X3))
-    y3b = _mul13_cols(nY, HHH)
+    # both schoolbook: two Karatsuba column sets summed would overflow u32
+    y3cols = _mul13_cols(R, _sub13(V, X3), kara=False)
+    y3b = _mul13_cols(nY, HHH, kara=False)
     Y3 = _reduce13([y3cols[k] + y3b[k] for k in range(39)])
     ZZ3 = _mul13(ZZ, HH)
     ZZZ3 = _mul13(ZZZ, HHH)
@@ -293,8 +361,12 @@ def _rows13_to16(rows13):
     normalization: l19 <= 0x200 means bits >= 256 are clear... l19 <= 0x1FF
     strictly after _fold_tail13's mask; a carry into l19 keeps it < 2^10,
     i.e. value < 2^257 — fold once more if bit 256 could be set."""
-    # ensure value < 2^256: fold l19's bits >= 9 one final time
-    rows = _fold_tail13(list(rows13), [])
+    # ensure value < 2^256: fold l19's bits >= 9, twice — after one fold a
+    # low-limb carry chain can still leave l19 == 0x200 (value == 2^256+eps,
+    # a ~2^-223 tail for random values but reachable by adversarial inputs);
+    # the second fold's input has l19 <= 0x200 and tiny low limbs, so its
+    # output is strictly < 2^256.
+    rows = _fold_tail13(_fold_tail13(list(rows13), []), [])
     out = []
     for j in range(16):
         start = 16 * j
@@ -309,10 +381,16 @@ def _rows13_to16(rows13):
     return out
 
 
-def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref):
+def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
+                   *, signed: bool = False):
     """digits_ref: (n_windows, 1, 8, 128) u32; table (n_windows, tsize, 40)
-    f32; outputs: (16, 1, 8, 128) u32 X, Y, ZZ (=Z^2), ZZZ (=Z^3) — 16-bit
-    rows, bit-compatible with the 16-bit kernel's outputs."""
+    f32 or (n_windows, tsize, 80) int8 planes; outputs: (16, 1, 8, 128)
+    u32 X, Y, ZZ (=Z^2), ZZZ (=Z^3) — 16-bit rows, bit-compatible with the
+    16-bit kernel's outputs.
+
+    ``signed``: digits are encoded |d| | (sign << 15); a negative digit
+    adds -|d|*2^(wbits*w)*G by negating the looked-up y (4p - y, a valid
+    _madd13 operand: limbs <= 0x1FFF, value <= 4p)."""
     from jax.experimental import pallas as pl
 
     n_windows = digits_ref.shape[0]
@@ -331,11 +409,16 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref):
         ZZ, ZZZ = rows(ZZ_a), rows(ZZZ_a)
 
         d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
+        if signed:
+            sign = (d >> np.uint32(15)) != 0
+            idx = d & np.uint32(0x7FFF)
+        else:
+            idx = d
         int8_planes = table_ref.dtype == jnp.int8
         tab_w = table_ref[pl.ds(w, 1), :, :].reshape(tsize, table_ref.shape[2])
         entry_groups = []
         for a in range(8):
-            d_a = d[a:a + 1, :]
+            d_a = idx[a:a + 1, :]
             if int8_planes:
                 onehot = (d_a == iota2).astype(jnp.int8)
                 e = jax.lax.dot_general(
@@ -356,6 +439,8 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref):
                               axis=0) for i in range(L13)]
         y2 = [jnp.concatenate([entry_groups[a][L13 + i:L13 + i + 1, :]
                                for a in range(8)], axis=0) for i in range(L13)]
+        if signed:
+            y2 = _select13(sign, _neg13(y2), y2)
 
         # fused mixed add in (ZZ, ZZZ) coordinates: 8M + 2S
         X3, Y3, ZZ3, ZZZ3 = _madd13(X, Y, ZZ, ZZZ, x2, y2)
@@ -386,16 +471,17 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref):
 
 @functools.lru_cache(maxsize=8)
 def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False,
-                 lookup: str = "i8"):
+                 lookup: str = "i8", signed: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    windows, tsize = _n_windows(wbits), 1 << wbits
+    windows = _n_windows(wbits)
+    tsize = _signed_tsize(wbits) if signed else (1 << wbits)
     tab_cols = 4 * L13 if lookup == "i8" else 2 * L13
     nb = n // tile
     grid = (nb,)
     return pl.pallas_call(
-        _smul13_kernel,
+        functools.partial(_smul13_kernel, signed=signed),
         grid=grid,
         in_specs=[
             pl.BlockSpec((windows, 1, 8, 128), lambda i: (0, i, 0, 0),
@@ -417,9 +503,11 @@ def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False,
 
 
 def scalar_mul_zz_pallas13(digits, tile: int = 1024, wbits: int = 8,
-                           interpret: bool = False, lookup: str = "i8"):
-    """digits: (N, n_windows) uint32 wbits-wide windows (LSB window first)
-    -> (X, Y, ZZ, ZZZ) as (N, 16) 16-bit limb arrays (same contract as
+                           interpret: bool = False, lookup: str = "i8",
+                           signed: bool = False):
+    """digits: (N, n_windows) uint32 wbits-wide windows (LSB window first;
+    signed-encoded |d| | sign<<15 when ``signed``) -> (X, Y, ZZ, ZZZ) as
+    (N, 16) 16-bit limb arrays (same contract as
     pallas_smul.scalar_mul_zz_pallas)."""
     n = digits.shape[0]
     windows = _n_windows(wbits)
@@ -427,9 +515,9 @@ def scalar_mul_zz_pallas13(digits, tile: int = 1024, wbits: int = 8,
     assert digits.shape[1] == windows, (digits.shape, wbits)
     nb = n // tile
     digits_t = digits.T.reshape(windows, nb, 8, 128)
-    table = jnp.asarray(_table13_i8(wbits) if lookup == "i8"
-                        else _table13_f32(wbits))
-    X, Y, ZZ, ZZZ = _smul13_call(n, tile, wbits, interpret, lookup)(
+    table = jnp.asarray(_table13_i8(wbits, signed) if lookup == "i8"
+                        else _table13_f32(wbits, signed))
+    X, Y, ZZ, ZZZ = _smul13_call(n, tile, wbits, interpret, lookup, signed)(
         digits_t, table)
 
     def back(a):

@@ -63,8 +63,9 @@ def normalize_scalar(words):
     return out
 
 
-def scalar_digits(words, wbits: int = 8):
-    """(..., 8) BE words -> (..., n_windows) wbits-wide windows, LSB first."""
+def scalar_digits(words, wbits: int = 8, signed: bool = False):
+    """(..., 8) BE words -> (..., n_windows) wbits-wide windows, LSB first.
+    ``signed``: |d| | sign<<15 signed-digit recoding (half-size tables)."""
     windows = -(-256 // wbits)
     mask = np.uint32((1 << wbits) - 1)
     digs = []
@@ -76,6 +77,9 @@ def scalar_digits(words, wbits: int = 8):
         if off + wbits > 32 and wi >= 1:
             v = v | (words[..., wi - 1] << np.uint32(32 - off))
         digs.append(v & mask)
+    if signed:
+        from .pallas_smul13 import signed_encode
+        digs = signed_encode(digs, wbits)
     return jnp.stack(digs, axis=-1)
 
 
@@ -104,13 +108,13 @@ def derive_pubkey(words, inv_chunk: int = 32, use_pallas: bool | None = None):
     n = words.shape[0] if words.ndim == 2 else None
     if use_pallas and n is not None and n % 1024 == 0:
         from .pallas_smul import scalar_mul_zz_pallas, to_affine_zz
-        from .tiled import use_smul13, window_bits, lookup_mode
+        from .tiled import use_smul13, window_bits, lookup_mode, signed_digits
         if use_smul13():
             from .pallas_smul13 import scalar_mul_zz_pallas13
-            wbits = window_bits()
+            wbits, signed = window_bits(), signed_digits()
             X, Y, ZZ, ZZZ = scalar_mul_zz_pallas13(
-                scalar_digits(words, wbits), wbits=wbits,
-                lookup=lookup_mode())
+                scalar_digits(words, wbits, signed), wbits=wbits,
+                lookup=lookup_mode(), signed=signed)
         else:
             X, Y, ZZ, ZZZ = scalar_mul_zz_pallas(scalar_digits(words))
         x, y = to_affine_zz(X, Y, ZZ, ZZZ, chunk=inv_chunk)

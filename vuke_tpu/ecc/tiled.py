@@ -43,6 +43,16 @@ def lookup_mode() -> str:
     import os
     return os.environ.get("VUKE_TPU_LOOKUP", "i8")
 
+
+def signed_digits() -> bool:
+    """Signed-digit windows (|d| <= 2^(wbits-1)): half-size tables, half
+    the lookup cost, one in-kernel y-negate select.  Needs wbits that
+    leaves >= 2 spare top bits (any wbits >= 9; w8 stays unsigned)."""
+    import os
+    if window_bits() * (-(-256 // window_bits())) < 258:
+        return False
+    return os.environ.get("VUKE_TPU_SIGNED", "1") not in ("0", "false", "no")
+
 _N_WORDS = np.array([(ref.N >> (32 * (7 - i))) & 0xFFFFFFFF for i in range(8)],
                     dtype=np.uint32)
 
@@ -142,11 +152,12 @@ def _normalize_words_t(words_t):
     return out
 
 
-def _digits_t(words_t, wbits: int = 8):
+def _digits_t(words_t, wbits: int = 8, signed: bool = False):
     """(8, ...) BE words -> (n_windows, ...) wbits-wide windows, LSB first.
 
     Window w covers scalar bits [wbits*w, wbits*(w+1)); widths that don't
-    divide 32 straddle word boundaries (hence the two-word stitch)."""
+    divide 32 straddle word boundaries (hence the two-word stitch).
+    ``signed``: recode into |d| | sign<<15 signed digits (half tables)."""
     windows = -(-256 // wbits)
     mask = np.uint32((1 << wbits) - 1)
     digs = []
@@ -158,6 +169,9 @@ def _digits_t(words_t, wbits: int = 8):
         if off + wbits > 32 and wi >= 1:
             v = v | (words_t[wi - 1] << np.uint32(32 - off))
         digs.append(v & mask)
+    if signed:
+        from .pallas_smul13 import signed_encode
+        digs = signed_encode(digs, wbits)
     return jnp.stack(digs, axis=0)
 
 
@@ -209,12 +223,12 @@ def derive_hash160s_tiled(seeds):
 
     if use_smul13():
         from .pallas_smul13 import _smul13_call, _table13_f32, _table13_i8
-        wbits, lookup = window_bits(), lookup_mode()
-        digits_t = _digits_t(norm_t, wbits)            # (n_windows, nb, 8, 128)
-        table = jnp.asarray(_table13_i8(wbits) if lookup == "i8"
-                            else _table13_f32(wbits))
-        X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits, lookup=lookup)(
-            digits_t, table)
+        wbits, lookup, signed = window_bits(), lookup_mode(), signed_digits()
+        digits_t = _digits_t(norm_t, wbits, signed)    # (n_windows, nb, 8, 128)
+        table = jnp.asarray(_table13_i8(wbits, signed) if lookup == "i8"
+                            else _table13_f32(wbits, signed))
+        X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits, lookup=lookup,
+                                     signed=signed)(digits_t, table)
     else:
         digits_t = _digits_t(norm_t)                   # (32, nb, 8, 128)
         table = jnp.asarray(_table_f32())
