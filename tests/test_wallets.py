@@ -190,3 +190,100 @@ def test_armory_transform_spec():
     import numpy as np
     seed = hashlib.sha256(b"hello").digest()
     assert np.asarray(keys[0, 0], dtype=">u4").tobytes() == armory.armory_key(seed)
+
+
+# --- remaining reference wallet-core vectors ---------------------------------
+
+def test_stretch_key_deterministic_and_distinct():
+    # electrum.rs:224-236
+    from vuke_tpu.wallets.electrum import stretch_key
+    assert stretch_key(b"test_seed") == stretch_key(b"test_seed")
+    assert stretch_key(b"seed1") != stretch_key(b"seed2")
+
+
+def test_get_sequence_format():
+    # electrum.rs:248-256: distinct per index and per change-flag
+    from vuke_tpu.wallets.electrum import get_sequence
+    mpk = bytes(64)
+    assert get_sequence(mpk, 0, 0) != get_sequence(mpk, 0, 1)
+    assert get_sequence(mpk, 0, 0) != get_sequence(mpk, 1, 0)
+
+
+def test_electrum_derive_keys_multiple(electrum_deriver):
+    # electrum.rs:288-299
+    keys = electrum_deriver.derive_keys(5)
+    assert len(keys) == 5
+    assert len(set(keys)) == 5
+
+
+def test_pbkdf2_hmac_sha512_sanity():
+    # multibit.rs:374-383: PBKDF2(1 iter) == HMAC-SHA512(pw, salt||00000001)
+    import hashlib
+    import hmac as hmac_mod
+    got = hashlib.pbkdf2_hmac("sha512", b"password", b"salt", 1)
+    expect = hmac_mod.new(b"password", b"salt" + b"\x00\x00\x00\x01",
+                          hashlib.sha512).digest()
+    assert len(got) == 64 and got == expect
+
+
+def test_entropy_to_mnemonic_all_zeros():
+    # multibit.rs:386-392: 16 zero bytes -> 12 words starting "abandon"
+    from vuke_tpu.wallets.bip39 import entropy_to_mnemonic
+    words = entropy_to_mnemonic(bytes(16))
+    assert len(words) == 12
+    assert words[0] == "abandon"
+
+
+def test_buggy_mnemonic_generation():
+    # multibit.rs:462-479: the issue-445 buggy 48-word mnemonic
+    from vuke_tpu.wallets.bip39 import entropy_to_mnemonic, mnemonic_to_seed
+    mnemonic = ("skin join dog sponsor camera puppy ritual diagram arrow "
+                "poverty boy elbow")
+    seed = mnemonic_to_seed(mnemonic, "")
+    buggy = entropy_to_mnemonic(seed)
+    assert len(buggy) == 48
+    assert buggy[0] == "trim"
+    assert buggy[1] == "snack"
+    assert buggy[2] == "gorilla"
+    assert buggy[47] == "coach"
+
+
+def test_parse_derivation_path_master_only():
+    # bitimage.rs:310-313
+    from vuke_tpu.wallets.bip32 import parse_derivation_path
+    assert parse_derivation_path("m") == []
+
+
+def test_parse_derivation_path_invalid():
+    # bitimage.rs:316-319
+    import pytest
+    from vuke_tpu.wallets.bip32 import Bip32Error, parse_derivation_path
+    with pytest.raises(Exception):
+        parse_derivation_path("84'/0'/0'/0/0")
+    with pytest.raises(Exception):
+        parse_derivation_path("m/abc")
+
+
+def test_parse_derivation_path_index_bounds():
+    # bitimage.rs:364-377
+    import pytest
+    from vuke_tpu.wallets.bip32 import parse_derivation_path
+    with pytest.raises(Exception, match="BIP32 limit"):
+        parse_derivation_path("m/2147483648'/0'/0'/0/0")
+    assert parse_derivation_path("m/2147483647'/0'/0'/0/0")
+
+
+def test_bitimage_passphrase_changes_key():
+    # bitimage.rs:341-351
+    from vuke_tpu.wallets.bitimage import BitimageDeriver
+    a = BitimageDeriver(b"hello world", "").derive_path("m/84'/0'/0'/0/0")
+    b = BitimageDeriver(b"hello world", "secret").derive_path("m/84'/0'/0'/0/0")
+    assert a != b
+
+
+def test_increment_path_index_hardened_tail():
+    # bitimage.rs:322-326 (incl. the hardened-tail case)
+    from vuke_tpu.wallets.bitimage import increment_path_index
+    assert increment_path_index("m/84'/0'/0'/0/0") == "m/84'/0'/0'/0/1"
+    assert increment_path_index("m/84'/0'/0'/0/5") == "m/84'/0'/0'/0/6"
+    assert increment_path_index("m/44'/0'/0'/0'") == "m/44'/0'/0'/1'"

@@ -382,7 +382,8 @@ def _rows13_to16(rows13):
 
 
 def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
-                   *, signed: bool = False):
+                   *, signed: bool = False, out13: bool = False,
+                   prefetch: bool = True):
     """digits_ref: (n_windows, 1, 8, 128) u32; table (n_windows, tsize, 40)
     f32 or (n_windows, tsize, 80) int8 planes; outputs: (16, 1, 8, 128)
     u32 X, Y, ZZ (=Z^2), ZZZ (=Z^3) — 16-bit rows, bit-compatible with the
@@ -390,7 +391,12 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
 
     ``signed``: digits are encoded |d| | (sign << 15); a negative digit
     adds -|d|*2^(wbits*w)*G by negating the looked-up y (4p - y, a valid
-    _madd13 operand: limbs <= 0x1FFF, value <= 4p)."""
+    _madd13 operand: limbs <= 0x1FFF, value <= 4p).
+
+    ``prefetch``: software-pipeline the table lookup — carry window w's
+    looked-up (x2, y2) in the loop state and issue window w+1's MXU dots
+    inside w's body, so the scheduler can overlap them with the VPU-bound
+    field chain (the dots have no dependency on the chain)."""
     from jax.experimental import pallas as pl
 
     n_windows = digits_ref.shape[0]
@@ -403,11 +409,8 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
     def stack(rs):
         return jnp.stack(rs, axis=0)
 
-    def body(w, carry):
-        X_a, Y_a, ZZ_a, ZZZ_a, acc_inf = carry
-        X, Y = rows(X_a), rows(Y_a)
-        ZZ, ZZZ = rows(ZZ_a), rows(ZZZ_a)
-
+    def lookup(w):
+        """Window w's table entries as (x2 rows, y2 rows), sign applied."""
         d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
         if signed:
             sign = (d >> np.uint32(15)) != 0
@@ -441,6 +444,19 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
                                for a in range(8)], axis=0) for i in range(L13)]
         if signed:
             y2 = _select13(sign, _neg13(y2), y2)
+        return x2, y2
+
+    def body(w, carry):
+        if prefetch:
+            X_a, Y_a, ZZ_a, ZZZ_a, acc_inf, x2_a, y2_a = carry
+            x2, y2 = rows(x2_a), rows(y2_a)
+            nx2, ny2 = lookup(jnp.minimum(w + 1, n_windows - 1))
+        else:
+            X_a, Y_a, ZZ_a, ZZZ_a, acc_inf = carry
+            x2, y2 = lookup(w)
+        X, Y = rows(X_a), rows(Y_a)
+        ZZ, ZZZ = rows(ZZ_a), rows(ZZZ_a)
+        d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
 
         # fused mixed add in (ZZ, ZZZ) coordinates: 8M + 2S
         X3, Y3, ZZ3, ZZZ3 = _madd13(X, Y, ZZ, ZZZ, x2, y2)
@@ -458,30 +474,58 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
         ZZ = _select13(d_zero, ZZ, nZZ)
         ZZZ = _select13(d_zero, ZZZ, nZZZ)
         acc_inf = acc_inf * d_zero.astype(jnp.uint32)
-        return (stack(X), stack(Y), stack(ZZ), stack(ZZZ), acc_inf)
+        out = (stack(X), stack(Y), stack(ZZ), stack(ZZZ), acc_inf)
+        if prefetch:
+            out = out + (stack(nx2), stack(ny2))
+        return out
 
     z = jnp.zeros((L13, 8, 128), jnp.uint32)
     init = (z, z, z, z, jnp.ones((8, 128), jnp.uint32))
-    X_a, Y_a, ZZ_a, ZZZ_a, _ = jax.lax.fori_loop(0, n_windows, body, init)
-    x_ref[:, 0] = jnp.stack(_rows13_to16(rows(X_a)), axis=0)
-    y_ref[:, 0] = jnp.stack(_rows13_to16(rows(Y_a)), axis=0)
-    zz_ref[:, 0] = jnp.stack(_rows13_to16(rows(ZZ_a)), axis=0)
-    zzz_ref[:, 0] = jnp.stack(_rows13_to16(rows(ZZZ_a)), axis=0)
+    if prefetch:
+        x20, y20 = lookup(0)
+        init = init + (stack(x20), stack(y20))
+    res = jax.lax.fori_loop(0, n_windows, body, init)
+    X_a, Y_a, ZZ_a, ZZZ_a = res[0], res[1], res[2], res[3]
+    if out13:
+        # raw 13-bit rows (value < 2^258 for Y after a signed top-window
+        # inf-replacement, else normalized) — the inversion/affine stage
+        # continues in 13-bit limbs and converts at the very end
+        x_ref[:, 0] = X_a
+        y_ref[:, 0] = Y_a
+        zz_ref[:, 0] = ZZ_a
+        zzz_ref[:, 0] = ZZZ_a
+    else:
+        x_ref[:, 0] = jnp.stack(_rows13_to16(rows(X_a)), axis=0)
+        y_ref[:, 0] = jnp.stack(_rows13_to16(rows(Y_a)), axis=0)
+        zz_ref[:, 0] = jnp.stack(_rows13_to16(rows(ZZ_a)), axis=0)
+        zzz_ref[:, 0] = jnp.stack(_rows13_to16(rows(ZZZ_a)), axis=0)
+
+
+def _prefetch_default() -> bool:
+    # measured exactly neutral at w10/i8/signed (11.82ms both ways) — the
+    # int8 lookups are too small a share to need hiding; default off
+    import os
+    return os.environ.get("VUKE_TPU_PREFETCH", "0") not in ("0", "false", "no")
 
 
 @functools.lru_cache(maxsize=8)
 def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False,
-                 lookup: str = "i8", signed: bool = False):
+                 lookup: str = "i8", signed: bool = False,
+                 out13: bool = False, prefetch: bool | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if prefetch is None:
+        prefetch = _prefetch_default()
     windows = _n_windows(wbits)
     tsize = _signed_tsize(wbits) if signed else (1 << wbits)
     tab_cols = 4 * L13 if lookup == "i8" else 2 * L13
+    out_rows = L13 if out13 else 16
     nb = n // tile
     grid = (nb,)
     return pl.pallas_call(
-        functools.partial(_smul13_kernel, signed=signed),
+        functools.partial(_smul13_kernel, signed=signed, out13=out13,
+                          prefetch=prefetch),
         grid=grid,
         in_specs=[
             pl.BlockSpec((windows, 1, 8, 128), lambda i: (0, i, 0, 0),
@@ -490,12 +534,12 @@ def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((16, 1, 8, 128), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((out_rows, 1, 8, 128), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((16, nb, 8, 128), jnp.uint32)
+            jax.ShapeDtypeStruct((out_rows, nb, 8, 128), jnp.uint32)
             for _ in range(4)
         ],
         interpret=interpret,

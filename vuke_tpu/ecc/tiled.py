@@ -91,15 +91,46 @@ def _fe_inv_rows(a_rows):
     return t
 
 
+def _use_associative_scan() -> bool:
+    # bit-exact and validated on TPU, but the log-depth unrolled graph
+    # compiles so slowly it blew the bench-stage window (>700s vs ~170s)
+    # for at best a fraction-of-a-ms runtime win — default off
+    import os
+    return os.environ.get("VUKE_TPU_ASCAN", "0") not in ("0", "false", "no")
+
+
 def _batch_inverse_tiles(z):
     """Montgomery inversion over the tile axis.
 
     z: (16, nb, 8, 128) uint32 -> elementwise inverses, same shape.
-    Prefix products scan along nb (each step is a field mul on a full
-    (8,128) tile), one Fermat inversion of the total, backward scan.
+
+    Default: log-depth associative scans — inclusive prefix products P
+    and suffix products S, one Fermat inversion of the total, then
+    inv(z_k) = P_{k-1} * inv_total * S_{k+1}.  ~2x the field muls of the
+    sequential Montgomery scan but log2(nb) sweeps of full-width vector
+    work instead of 2*nb tiny sequential steps (per-step overhead
+    dominated the stage).  VUKE_TPU_ASCAN=0 reverts to sequential scans.
     """
     nb = z.shape[1]
     zc = jnp.moveaxis(z, 1, 0)                     # (nb, 16, 8, 128)
+
+    if _use_associative_scan() and nb > 1:
+        def mulp(a, b):
+            # a, b: (k, 16, 8, 128) — elementwise field mul over the batch
+            return jnp.stack(_mul_t([a[:, i] for i in range(16)],
+                                    [b[:, i] for i in range(16)]), axis=1)
+
+        P = jax.lax.associative_scan(mulp, zc)             # P_k = z_0..z_k
+        S = jax.lax.associative_scan(mulp, zc, reverse=True)
+        total = P[-1]
+        inv_total = jnp.stack(
+            _fe_inv_rows([total[i] for i in range(16)]), axis=0)
+        one = (zc[:1] * np.uint32(0)).at[:, 0].set(1)
+        Pm1 = jnp.concatenate([one, P[:-1]], axis=0)       # P_{k-1}
+        Sp1 = jnp.concatenate([S[1:], one], axis=0)        # S_{k+1}
+        outer = mulp(Pm1, Sp1)
+        inv = mulp(outer, jnp.broadcast_to(inv_total[None], outer.shape))
+        return jnp.moveaxis(inv, 0, 1)
 
     def fwd(acc, zk):
         acc_rows = [acc[i] for i in range(16)]
@@ -121,6 +152,70 @@ def _batch_inverse_tiles(z):
 
     _, inv = jax.lax.scan(bwd, inv_total, (zc, prefixes), reverse=True)
     return jnp.moveaxis(inv, 0, 1)                 # (16, nb, 8, 128)
+
+
+def _fe_inv_rows13(a_rows):
+    """Fermat inversion on 13-bit limb rows (same chain as _fe_inv_rows)."""
+    from .pallas_smul13 import L13, _mul13, _sqr13
+
+    def mul(x, y):
+        return _mul13(x, y)
+
+    def sqr_k(x, k):
+        def body(_, v):
+            return jnp.stack(_sqr13([v[i] for i in range(L13)]), axis=0)
+        v = jnp.stack(x, axis=0)
+        v = jax.lax.fori_loop(0, k, body, v)
+        return [v[i] for i in range(L13)]
+
+    x1 = a_rows
+    x2 = mul(sqr_k(x1, 1), x1)
+    x3 = mul(sqr_k(x2, 1), x1)
+    x6 = mul(sqr_k(x3, 3), x3)
+    x9 = mul(sqr_k(x6, 3), x3)
+    x11 = mul(sqr_k(x9, 2), x2)
+    x22 = mul(sqr_k(x11, 11), x11)
+    x44 = mul(sqr_k(x22, 22), x22)
+    x88 = mul(sqr_k(x44, 44), x44)
+    x176 = mul(sqr_k(x88, 88), x88)
+    x220 = mul(sqr_k(x176, 44), x44)
+    x223 = mul(sqr_k(x220, 3), x3)
+    t = mul(sqr_k(x223, 23), x22)
+    t = mul(sqr_k(t, 5), x1)
+    t = mul(sqr_k(t, 3), x2)
+    t = mul(sqr_k(t, 2), x1)
+    return t
+
+
+def _batch_inverse_tiles13(z):
+    """Montgomery inversion over the tile axis in 13-bit limbs.
+
+    z: (20, nb, 8, 128) uint32 -> elementwise inverses, same shape."""
+    from .pallas_smul13 import L13, _mul13
+
+    nb = z.shape[1]
+    zc = jnp.moveaxis(z, 1, 0)                     # (nb, 20, 8, 128)
+
+    def fwd(acc, zk):
+        nxt = jnp.stack(_mul13([acc[i] for i in range(L13)],
+                               [zk[i] for i in range(L13)]), axis=0)
+        return nxt, acc
+
+    one = (zc[0] * np.uint32(0)).at[0].set(1)
+    total, prefixes = jax.lax.scan(fwd, one, zc)
+
+    inv_total = jnp.stack(
+        _fe_inv_rows13([total[i] for i in range(L13)]), axis=0)
+
+    def bwd(inv_acc, xs):
+        zk, pref = xs
+        ia = [inv_acc[i] for i in range(L13)]
+        inv_zk = jnp.stack(_mul13(ia, [pref[i] for i in range(L13)]), axis=0)
+        nxt = jnp.stack(_mul13(ia, [zk[i] for i in range(L13)]), axis=0)
+        return nxt, inv_zk
+
+    _, inv = jax.lax.scan(bwd, inv_total, (zc, prefixes), reverse=True)
+    return jnp.moveaxis(inv, 0, 1)                 # (20, nb, 8, 128)
 
 
 def _normalize_words_t(words_t):
@@ -183,10 +278,11 @@ def _limbs_to_words_t(rows):
 
 
 def _fe_normalize_rows(rows):
-    """Canonical representative (subtract p while >= p, twice)."""
+    """Canonical representative.  Inputs are _mul_t/_rows13_to16 outputs,
+    always < 2^256 < 2p, so ONE conditional subtract of p suffices."""
     P_LIMBS = [np.uint32((ref.P >> (16 * i)) & 0xFFFF) for i in range(16)]
     out = rows
-    for _ in range(2):
+    for _ in range(1):
         ge = jnp.zeros_like(out[0], dtype=bool)
         decided = jnp.zeros_like(out[0], dtype=bool)
         for i in range(15, -1, -1):
@@ -221,27 +317,54 @@ def derive_hash160s_tiled(seeds):
     kw_t = _mt_call(n)(seeds.reshape(nb, 8, 128))      # (8, nb, 8, 128)
     norm_t = _normalize_words_t(kw_t)
 
-    if use_smul13():
-        from .pallas_smul13 import _smul13_call, _table13_f32, _table13_i8
+    inv13 = False  # measured SLOWER e2e (9.60 vs 10.44 M/s): 13-bit muls at
+    # the XLA level fuse worse than 16-bit _mul_t; VUKE_TPU_INV13=1 re-tests
+    import os
+    if os.environ.get("VUKE_TPU_INV13") in ("1", "true", "yes"):
+        inv13 = True
+
+    if use_smul13() and inv13:
+        from .pallas_smul13 import (L13, _mul13, _rows13_to16, _smul13_call,
+                                    _table13_f32, _table13_i8)
         wbits, lookup, signed = window_bits(), lookup_mode(), signed_digits()
         digits_t = _digits_t(norm_t, wbits, signed)    # (n_windows, nb, 8, 128)
         table = jnp.asarray(_table13_i8(wbits, signed) if lookup == "i8"
                             else _table13_f32(wbits, signed))
         X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits, lookup=lookup,
-                                     signed=signed)(digits_t, table)
+                                     signed=signed, out13=True)(
+            digits_t, table)                           # (20, nb, 8, 128) x4
+        r20 = lambda a: [a[i] for i in range(L13)]
+        T = _mul13(r20(ZZ), r20(ZZZ))
+        iT = _batch_inverse_tiles13(jnp.stack(T, axis=0))
+        iT_rows = r20(iT)
+        x13 = _mul13(_mul13(r20(X), iT_rows), r20(ZZZ))
+        y13 = _mul13(_mul13(r20(Y), iT_rows), r20(ZZ))
+        x = _fe_normalize_rows(_rows13_to16(x13))
+        y = _fe_normalize_rows(_rows13_to16(y13))
     else:
-        digits_t = _digits_t(norm_t)                   # (32, nb, 8, 128)
-        table = jnp.asarray(_table_f32())
-        X, Y, ZZ, ZZZ = _smul_call(n, 1024)(digits_t, table)  # (16, nb, 8, 128) x4
+        if use_smul13():
+            from .pallas_smul13 import (_smul13_call, _table13_f32,
+                                        _table13_i8)
+            wbits, lookup, signed = (window_bits(), lookup_mode(),
+                                     signed_digits())
+            digits_t = _digits_t(norm_t, wbits, signed)
+            table = jnp.asarray(_table13_i8(wbits, signed) if lookup == "i8"
+                                else _table13_f32(wbits, signed))
+            X, Y, ZZ, ZZZ = _smul13_call(n, 1024, wbits, lookup=lookup,
+                                         signed=signed)(digits_t, table)
+        else:
+            digits_t = _digits_t(norm_t)               # (32, nb, 8, 128)
+            table = jnp.asarray(_table_f32())
+            X, Y, ZZ, ZZZ = _smul_call(n, 1024)(digits_t, table)
 
-    rowsof = lambda a: [a[i] for i in range(16)]
-    T = _mul_t(rowsof(ZZ), rowsof(ZZZ))
-    iT = _batch_inverse_tiles(jnp.stack(T, axis=0))
-    iT_rows = rowsof(iT)
-    x = _mul_t(_mul_t(rowsof(X), iT_rows), rowsof(ZZZ))
-    y = _mul_t(_mul_t(rowsof(Y), iT_rows), rowsof(ZZ))
-    x = _fe_normalize_rows(x)
-    y = _fe_normalize_rows(y)
+        rowsof = lambda a: [a[i] for i in range(16)]
+        T = _mul_t(rowsof(ZZ), rowsof(ZZZ))
+        iT = _batch_inverse_tiles(jnp.stack(T, axis=0))
+        iT_rows = rowsof(iT)
+        x = _mul_t(_mul_t(rowsof(X), iT_rows), rowsof(ZZZ))
+        y = _mul_t(_mul_t(rowsof(Y), iT_rows), rowsof(ZZ))
+        x = _fe_normalize_rows(x)
+        y = _fe_normalize_rows(y)
 
     xw_t = _limbs_to_words_t(x)                        # (8, nb, 8, 128)
     yw_t = _limbs_to_words_t(y)
