@@ -1,6 +1,10 @@
 # Common tasks (the reference's justfile analogue)
 
-.PHONY: test test-fast native bench bench-suite clean lint
+.PHONY: test test-fast native bench bench-suite clean lint release
+
+# version bump + tag (the reference's `just release X.Y.Z`)
+release:
+	python tools/release.py $(VERSION) --tag
 
 test:
 	python -m pytest tests/ -x -q

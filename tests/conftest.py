@@ -33,8 +33,14 @@ _CPU = os.environ.get("VUKE_TEST_PLATFORM", "") == "cpu"
 if _CPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_max_isa" not in flags:
+        # without a pinned ISA, XLA:CPU AOT cache entries embed tuning
+        # pseudo-features (+prefer-no-gather) that fail the load-time host
+        # feature check, so the persistent cache silently recompiled every
+        # big program (~80-190s each, the whole fast tier >50 min)
+        flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+    os.environ["XLA_FLAGS"] = flags
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -203,3 +203,27 @@ def test_format_results():
     parsed = json.loads(js)
     assert parsed["private_key"] == "abc123"
     assert parsed["results"][0]["status"] == "confirmed"
+
+
+def test_sweep_program_falls_back_on_kernel_failure():
+    """Accelerator failure degrades the sweep to the XLA keystream instead
+    of aborting the analyze (reference: main.rs:1577-1594)."""
+    from vuke_tpu.analyze.sweeps import SweepProgram, sweep
+    from vuke_tpu.cores.mt19937 import milksad_key_words
+
+    seed = 777
+    key_words = np.asarray(milksad_key_words(
+        np.array([seed], dtype=np.uint32), n_keys=1))[0, 0]
+
+    def keystream(hi, lo, n_keys):
+        return milksad_key_words(lo, n_keys=n_keys)
+
+    prog = SweepProgram(keystream, "exact", batch=512)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected Mosaic failure")
+
+    prog._step = boom
+    import jax.numpy as jnp
+    r = sweep(prog, 0, 2048, target_words=jnp.asarray(key_words))
+    assert r.found and r.seed == seed

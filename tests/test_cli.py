@@ -92,7 +92,7 @@ def test_scan_checkpoint_manifest(runner, tmp_path):
     targets = tmp_path / "targets.txt"
     targets.write_text("1BitcoinEaterAddressDontSendf59kuE\n")
     ckpt = tmp_path / "scan.json"
-    args = ["scan", "--transform", "direct", "--batch", "256",
+    args = ["scan", "--transform", "direct", "--batch", "512",
             "--checkpoint", str(ckpt), "--targets", str(targets),
             "range", "--start", "1", "--end", "600"]
     r = runner.invoke(cli, args)
@@ -107,7 +107,7 @@ def test_scan_checkpoint_manifest(runner, tmp_path):
 
 def test_generate_output_file_closed(runner, tmp_path):
     out_path = tmp_path / "keys.txt"
-    r = runner.invoke(cli, ["generate", "--transform", "direct", "--batch", "256",
+    r = runner.invoke(cli, ["generate", "--transform", "direct", "--batch", "512",
                             "-o", str(out_path),
                             "range", "--start", "1", "--end", "10"])
     assert r.exit_code == 0, r.output

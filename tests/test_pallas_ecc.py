@@ -88,3 +88,27 @@ def test_tiled_derive_matches_standard():
     assert (np.asarray(d_t["frag_c"][1]) == be(hc[:, 1])).all()
     assert (np.asarray(d_t["frag_u"][0]) == be(hu[:, 0])).all()
     assert (np.asarray(d_t["frag_u"][1]) == be(hu[:, 1])).all()
+
+
+def test_tiled_from_words_matches_standard():
+    """The scan hot path's tile-layout derive (derive_tiled_from_words)
+    is bit-identical to the standard derive on raw (unnormalized) keys."""
+    from vuke_tpu.ecc.tiled import derive_tiled_from_words
+
+    ks = _interesting_scalars(1024)
+    ks[5] = 0                # normalization edge: 0 -> 1
+    ks[6] = ref.N            # == order -> 1 after reduce
+    ks[7] = ref.N + 12345
+    words = _scalar_words(ks)
+
+    d_t = jax.jit(derive_tiled_from_words)(words)
+
+    def std(w):
+        norm = normalize_scalar(w)
+        d = derive_hash160s(norm, inv_chunk=32)
+        return norm, d
+
+    norm_s, d_s = jax.jit(std)(words)
+    assert (np.asarray(d_t["norm"]) == np.asarray(norm_s)).all()
+    assert (np.asarray(d_t["h160c"]) == np.asarray(d_s["h160c"])).all()
+    assert (np.asarray(d_t["h160u"]) == np.asarray(d_s["h160u"])).all()

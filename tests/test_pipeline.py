@@ -38,7 +38,7 @@ def test_milksad_scan_recovers_planted_key(deriver, capsys=None):
     out = ConsoleOutput(stream=buf)
     matcher = Matcher.from_addresses([addr, "1BitcoinEaterAddressDontSendf59kuE"])
     spec = parse_transform("milksad")
-    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=8)
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=32)
     stats = driver.run_range(1, 3500)
 
     assert stats.inputs_processed == 3500
@@ -61,7 +61,7 @@ def test_sha256_scan_p2wpkh_target(deriver):
     out = ConsoleOutput(stream=buf)
     matcher = Matcher.from_addresses([addr])
     spec = parse_transform("sha256")
-    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=8)
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=32)
     stats = driver.run_range(4000, 4600)
 
     assert stats.matches_found == 1
@@ -78,7 +78,7 @@ def test_lcg_scan_uncompressed_target(deriver):
     out = ConsoleOutput(stream=buf)
     matcher = Matcher.from_addresses([addr])
     spec = parse_transform("lcg")
-    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=8)
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=32)
     stats = driver.run_range(700, 900)
 
     assert stats.matches_found == 1
@@ -91,7 +91,7 @@ def test_generate_compact_output_matches_reference_format(deriver):
     buf = io.StringIO()
     out = ConsoleOutput(stream=buf)
     spec = parse_transform("milksad")
-    driver = ForwardDriver([spec], None, out, deriver, batch=512, inv_chunk=8)
+    driver = ForwardDriver([spec], None, out, deriver, batch=512, inv_chunk=32)
     stats = driver.run_range(1, 10)
 
     assert stats.inputs_processed == 10
@@ -119,7 +119,7 @@ def test_string_driver_wordlist_scan(deriver):
     out = ConsoleOutput(stream=buf)
     matcher = Matcher.from_addresses([addr])
     spec = parse_transform("sha256")
-    sd = StringDriver([spec], matcher, out, deriver, inv_chunk=8)
+    sd = StringDriver([spec], matcher, out, deriver, inv_chunk=32)
     stats = sd.process_batch(["hello", "correct horse battery staple", "world"])
 
     assert stats.inputs_processed == 3
@@ -133,7 +133,7 @@ def test_tail_batch_masking(deriver):
     buf = io.StringIO()
     out = ConsoleOutput(stream=buf)
     spec = parse_transform("mt64")
-    driver = ForwardDriver([spec], None, out, deriver, batch=512, inv_chunk=8)
+    driver = ForwardDriver([spec], None, out, deriver, batch=512, inv_chunk=32)
     stats = driver.run_range(100, 136)
     assert stats.inputs_processed == 37
     assert stats.keys_generated == 37
@@ -156,7 +156,7 @@ def test_hit_overflow_batch_loses_none(deriver):
     out = ConsoleOutput(stream=buf)
     matcher = Matcher.from_addresses(addrs)
     spec = parse_transform("direct")
-    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=8)
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=32)
     stats = driver.run_range(1, 512)
     assert stats.matches_found == n_plant
 
@@ -171,7 +171,7 @@ def test_derive_matcher_falls_back_on_kernel_failure(deriver):
     out = ConsoleOutput(stream=buf)
     matcher = Matcher.from_addresses([addr])
     spec = parse_transform("direct")
-    driver = ForwardDriver([spec], matcher, out, deriver, batch=256, inv_chunk=8)
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=32)
 
     def boom(*a, **k):
         raise RuntimeError("injected Mosaic failure")
@@ -186,7 +186,7 @@ def test_all_unparseable_targets_scan_does_not_crash(deriver):
     out = ConsoleOutput(stream=buf)
     matcher = Matcher.from_addresses(["not-an-address", "# nonsense"])
     spec = parse_transform("milksad")
-    driver = ForwardDriver([spec], matcher, out, deriver, batch=256, inv_chunk=8)
+    driver = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=32)
     stats = driver.run_range(1, 600)
     assert stats.inputs_processed == 600
     assert stats.matches_found == 0

@@ -145,8 +145,8 @@ def test_electrum_over_timestamps_recovers_planted_key():
     out = ConsoleOutput(stream=buf)
     matcher = Matcher.from_addresses([derived.p2pkh_uncompressed])
     spec = parse_transform("electrum")
-    fwd = ForwardDriver([spec], matcher, out, deriver, batch=256, inv_chunk=8)
-    sd = StringDriver([spec], matcher, out, deriver, inv_chunk=8)
+    fwd = ForwardDriver([spec], matcher, out, deriver, batch=512, inv_chunk=32)
+    sd = StringDriver([spec], matcher, out, deriver, inv_chunk=32)
     stats = TimestampSource(ts - 1, ts + 1).process(fwd, sd)
 
     assert stats.inputs_processed == 3
@@ -167,8 +167,8 @@ def test_electrum_over_range_generate_emits_keys():
     buf = io.StringIO()
     out = ConsoleOutput(stream=buf)
     spec = parse_transform("electrum")
-    fwd = ForwardDriver([spec], None, out, deriver, batch=256, inv_chunk=8)
-    sd = StringDriver([spec], None, out, deriver, inv_chunk=8)
+    fwd = ForwardDriver([spec], None, out, deriver, batch=512, inv_chunk=32)
+    sd = StringDriver([spec], None, out, deriver, inv_chunk=32)
     stats = RangeSource(100, 101).process(fwd, sd)
 
     assert stats.inputs_processed == 2

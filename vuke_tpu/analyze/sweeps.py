@@ -51,6 +51,22 @@ def _mask_compare(kw, bits: int, target: int):
     return (got_hi == thi) & (got_lo == tlo)
 
 
+def _xla_fallback_step(step_fn, exc):
+    """Re-jit a sweep step with Pallas keystreams disabled.
+
+    The accelerator-error fallback (reference: main.rs:1577-1594 degrades
+    GPU analyzers to CPU): keystream fns choose the Pallas kernel at trace
+    time via use_pallas_default(), so disabling it and re-tracing yields
+    the XLA-staged program."""
+    import os
+    from ..telemetry import log
+    log().warning(
+        "Pallas sweep program failed (%s: %s); falling back to the "
+        "XLA-staged keystream", type(exc).__name__, exc)
+    os.environ["VUKE_TPU_PALLAS"] = "0"
+    return jax.jit(step_fn)
+
+
 @dataclass
 class SweepResult:
     found: bool
@@ -102,6 +118,7 @@ class SweepProgram:
                 out["first_filter_hits"] = ff.sum()
             return out
 
+        self._step_fn = step
         self._step = jax.jit(step)
 
     def run_batch(self, start: int, limit: Optional[int] = None,
@@ -110,8 +127,13 @@ class SweepProgram:
             limit = self.batch
         if target_words is None:
             target_words = jnp.zeros(8, dtype=jnp.uint32)
-        return self._step(jnp.uint32(start >> 32), jnp.uint32(start & 0xFFFFFFFF),
-                          jnp.uint32(limit), self._offs, target_words)
+        args = (jnp.uint32(start >> 32), jnp.uint32(start & 0xFFFFFFFF),
+                jnp.uint32(limit), self._offs, target_words)
+        try:
+            return self._step(*args)
+        except Exception as e:  # Pallas/Mosaic failure -> XLA keystream
+            self._step = _xla_fallback_step(self._step_fn, e)
+            return self._step(*args)
 
 
 class ChainSweepProgram:
@@ -150,6 +172,7 @@ class ChainSweepProgram:
             flat = okm.reshape(-1)
             return {"found": flat.any(), "idx": jnp.argmax(flat)}
 
+        self._step_fn = step
         self._step = jax.jit(step)
         self._positions = 1  # decoded by caller via depth
 
@@ -158,8 +181,13 @@ class ChainSweepProgram:
             limit = self.batch
         if target_words is None:
             target_words = jnp.zeros(8, dtype=jnp.uint32)
-        return self._step(jnp.uint32(start >> 32), jnp.uint32(start & 0xFFFFFFFF),
-                          jnp.uint32(limit), self._offs, target_words)
+        args = (jnp.uint32(start >> 32), jnp.uint32(start & 0xFFFFFFFF),
+                jnp.uint32(limit), self._offs, target_words)
+        try:
+            return self._step(*args)
+        except Exception as e:  # Pallas/Mosaic failure -> XLA keystream
+            self._step = _xla_fallback_step(self._step_fn, e)
+            return self._step(*args)
 
 
 def dispatch_sweep(program, space_start: int, space_end: int, *,

@@ -307,8 +307,7 @@ def derive_hash160s_tiled(seeds):
     seeds: (N,) uint32, N % 1024 == 0.  Returns dict with h160c/h160u as
     (N, 5) LE words plus fragment (hi, lo) arrays (N,).
     """
-    from ..cores.pallas_kernels import _mt_call, _hash160_call
-    from ..cores.common import byteswap32
+    from ..cores.pallas_kernels import _mt_call
 
     n = seeds.shape[0]
     assert n % 1024 == 0
@@ -316,6 +315,31 @@ def derive_hash160s_tiled(seeds):
 
     kw_t = _mt_call(n)(seeds.reshape(nb, 8, 128))      # (8, nb, 8, 128)
     norm_t = _normalize_words_t(kw_t)
+    return _derive_core_t(norm_t, n, nb)
+
+
+def derive_tiled_from_words(words):
+    """Tile-layout derive for (N, 8) BE-word scalars (the scan hot path).
+
+    One entry transpose (words -> tile layout) and narrow exits replace
+    the per-kernel lane<->tile relayouts and lane-major chunked inversion
+    of the standard path.  Returns the _derive_core_t dict plus
+    ``norm`` — the normalized scalars back in (N, 8) lane-major form.
+    """
+    n = words.shape[0]
+    assert n % 1024 == 0
+    nb = n // 1024
+    words_t = words.T.reshape(8, nb, 8, 128)
+    norm_t = _normalize_words_t(words_t)
+    out = _derive_core_t(norm_t, n, nb)
+    out["norm"] = norm_t.reshape(8, n).T
+    return out
+
+
+def _derive_core_t(norm_t, n, nb):
+    """normalized (8, nb, 8, 128) scalars -> hash160s + match fragments."""
+    from ..cores.pallas_kernels import _hash160_call
+    from ..cores.common import byteswap32
 
     inv13 = False  # measured SLOWER e2e (9.60 vs 10.44 M/s): 13-bit muls at
     # the XLA level fuse worse than 16-bit _mul_t; VUKE_TPU_INV13=1 re-tests

@@ -78,12 +78,27 @@ def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: i
         return _dm_program(match, collect, inv_chunk, win_c, win_u, full_mask)
 
     def fn(keys, valid, chi, clo, uhi, ulo):
-        norm = normalize_scalar(keys)
-        d = derive_hash160s(norm, inv_chunk=inv_chunk, use_pallas=use_pallas)
-        out = {"n_valid": valid.sum()}
-        if match:
+        n = keys.shape[0]
+        pallas_ok = (use_pallas if use_pallas is not None
+                     else use_pallas_default())
+        if pallas_ok and n % 1024 == 0:
+            # tile-layout derive (scan hot path): one entry transpose
+            # replaces the per-kernel lane<->tile relayouts and the
+            # lane-major chunked inversion of the standard path
+            from .ecc.tiled import derive_tiled_from_words
+            d = derive_tiled_from_words(keys)
+            norm = d["norm"]
+            fc, fu = d["frag_c"], d["frag_u"]
+            h160c = lambda: d["h160c"]
+        else:
+            norm = normalize_scalar(keys)
+            d = derive_hash160s(norm, inv_chunk=inv_chunk,
+                                use_pallas=use_pallas)
             fc = hash160_fragment(d["h160c"])
             fu = hash160_fragment(d["h160u"])
+            h160c = lambda: d["h160c"]
+        out = {"n_valid": valid.sum()}
+        if match:
             m = (DeviceTargetSet._lookup(chi, clo, win_c, *fc)
                  | DeviceTargetSet._lookup(uhi, ulo, win_u, *fu))
             m = m & valid
@@ -95,7 +110,7 @@ def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: i
                                              fill_value=2**31 - 1)[0]
         if collect:
             out["keys"] = norm
-            out["h160c"] = d["h160c"]
+            out["h160c"] = h160c()
         return out
 
     return jax.jit(fn)
