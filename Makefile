@@ -9,9 +9,13 @@ release:
 test:
 	python -m pytest tests/ -x -q
 
-# CPU fast tier: 8 virtual devices, tpu_only/slow tests skipped
+# CPU fast tier: 8 virtual devices, tpu_only/slow tests skipped.
+# Parallel across files (xdist): XLA:CPU compiles of the big derive
+# programs are the wall-clock cost and they parallelize per worker.
+# (The default TPU tier must stay serial — single shared chip.)
 test-fast:
-	VUKE_TEST_PLATFORM=cpu python -m pytest tests/ -x -q -m "not slow"
+	VUKE_TEST_PLATFORM=cpu python -m pytest tests/ -q -m "not slow" \
+	  -n auto --dist loadfile
 
 native:
 	$(MAKE) -C native

@@ -161,3 +161,26 @@ def test_point_add_general_edge_cases():
     negy = field.fe_from_int(ref.P - ref.GY, (1,))
     X, Y, Z = point.point_add_general(gx, gy, one, gx, negy, one)
     assert bool(np.asarray(field.fe_is_zero(Z))[0])
+
+
+def test_tiled_words_layout_and_normalize_parity():
+    """The scan fast path's entry transpose + tile-layout normalize agree
+    with the lane-major normalize_scalar (derive_tiled_from_words's only
+    new algebra over the TPU-validated seed pipeline)."""
+    from vuke_tpu.ecc import tiled
+
+    rng = np.random.RandomState(11)
+    n = 2048
+    words = rng.randint(0, 2**31, size=(n, 8)).astype(np.uint32) * 2 \
+        + rng.randint(0, 2, size=(n, 8)).astype(np.uint32)
+    # plant normalization edges
+    words[0] = 0                                     # zero -> 1
+    words[1] = [(ref.N >> (32 * (7 - i))) & 0xFFFFFFFF for i in range(8)]
+    words[2] = 0xFFFFFFFF                            # > n, reduces
+
+    words_j = jnp.asarray(words)
+    words_t = words_j.T.reshape(8, n // 1024, 8, 128)
+    norm_t = tiled._normalize_words_t(words_t)
+    got = np.asarray(norm_t.reshape(8, n).T)
+    expect = np.asarray(pubkey.normalize_scalar(words_j))
+    assert np.array_equal(got, expect)
