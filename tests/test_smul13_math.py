@@ -130,22 +130,26 @@ def test_rows13_to16_roundtrip():
         assert got == v, hex(v)
 
 
+def _words_be(ks):
+    return [np.array([(k >> (32 * (7 - i))) & 0xFFFFFFFF for k in ks],
+                     dtype=np.uint32) for i in range(8)]
+
+
 def _chain_numpy(ks, wbits=8, signed=False):
     """Replicate the kernel's per-window (ZZ, ZZZ) loop on (n,) numpy rows."""
     tab = m13._table13_f32(wbits, signed)  # (n_windows, tsize, 40) f32
     mask = (1 << wbits) - 1
     n = len(ks)
     windows = m13._n_windows(wbits)
-    digs = [np.array([(k >> (wbits * w)) & mask for k in ks],
-                     dtype=np.uint32) for w in range(windows)]
-    if signed:
-        digs = m13.signed_encode(digs, wbits)
-    zero = [np.zeros((n,), dtype=np.uint32) for _ in range(m13.L13)]
-    one = [np.full((n,), np.uint32(1 if i == 0 else 0), dtype=np.uint32)
-           for i in range(m13.L13)]
-    X, Y, ZZ, ZZZ = list(zero), list(zero), list(zero), list(zero)
-    acc_inf = np.ones((n,), dtype=np.uint32)
-    for w in range(windows):
+    if signed == "odd":
+        digs = m13.odd_encode_rows(_words_be(ks), wbits)
+    else:
+        digs = [np.array([(k >> (wbits * w)) & mask for k in ks],
+                         dtype=np.uint32) for w in range(windows)]
+        if signed:
+            digs = m13.signed_encode(digs, wbits)
+
+    def lookup(w):
         d = digs[w]
         idx = d & np.uint32(0x7FFF) if signed else d
         # table lookup: f32-exact int conversion, as the MXU one-hot dot does
@@ -156,6 +160,25 @@ def _chain_numpy(ks, wbits=8, signed=False):
         if signed:
             sign = (d >> np.uint32(15)) != 0
             y2 = m13._select13(sign, m13._neg13(y2), y2)
+        return x2, y2
+
+    one = [np.full((n,), np.uint32(1 if i == 0 else 0), dtype=np.uint32)
+           for i in range(m13.L13)]
+    if signed == "odd":
+        # zero-free: window 0 seeds the accumulator, no skip/infinity logic
+        X, Y = lookup(0)
+        ZZ, ZZZ = list(one), list(one)
+        for w in range(1, windows):
+            x2, y2 = lookup(w)
+            X, Y, ZZ, ZZZ = m13._madd13(X, Y, ZZ, ZZZ, x2, y2)
+        return X, Y, ZZ, ZZZ
+
+    zero = [np.zeros((n,), dtype=np.uint32) for _ in range(m13.L13)]
+    X, Y, ZZ, ZZZ = list(zero), list(zero), list(zero), list(zero)
+    acc_inf = np.ones((n,), dtype=np.uint32)
+    for w in range(windows):
+        d = digs[w]
+        x2, y2 = lookup(w)
 
         X3, Y3, ZZ3, ZZZ3 = m13._madd13(X, Y, ZZ, ZZZ, x2, y2)
 
@@ -173,14 +196,27 @@ def _chain_numpy(ks, wbits=8, signed=False):
     return X, Y, ZZ, ZZZ
 
 
-@pytest.mark.parametrize("wbits", [8, 10])
-def test_i8_table_planes_recombine(wbits):
+@pytest.mark.parametrize("wbits,signed", [(8, False), (10, False),
+                                          (10, "odd")])
+def test_i8_table_planes_recombine(wbits, signed):
     """lo + (hi << 7) over the int8 two-plane table == the f32 table."""
-    t8 = m13._table13_i8(wbits).astype(np.int32)
+    t8 = m13._table13_i8(wbits, signed).astype(np.int32)
     lo, hi = t8[..., :2 * m13.L13], t8[..., 2 * m13.L13:]
     assert (lo >= 0).all() and (lo <= 0x7F).all()
     assert (hi >= 0).all() and (hi <= 0x3F).all()
-    assert np.array_equal(lo + (hi << 7), m13._table13_f32(wbits).astype(np.int32))
+    assert np.array_equal(lo + (hi << 7),
+                          m13._table13_f32(wbits, signed).astype(np.int32))
+
+
+def test_odd_table_rows_are_odd_multiples():
+    tab = m13._table13_f32(10, "odd")
+    for w in (0, 13, 25):
+        for j in (0, 1, 255, 511):
+            x = sum(int(tab[w, j, i]) << (13 * i) for i in range(m13.L13))
+            y = sum(int(tab[w, j, m13.L13 + i]) << (13 * i)
+                    for i in range(m13.L13))
+            ex, ey = ref.point_mul(((2 * j + 1) << (10 * w)) % ref.N)
+            assert (x, y) == (ex, ey), (w, j)
 
 
 @pytest.mark.parametrize("wbits", [8, 10])
@@ -221,8 +257,34 @@ def test_signed_encode_reconstructs(wbits):
         assert total == k, hex(k)
 
 
+@pytest.mark.parametrize("wbits", [10, 11])
+def test_odd_encode_reconstructs(wbits):
+    """Zero-free odd digits: all magnitudes odd and in range, value
+    reconstructs to k or k+n (even scalars gain n), always = k (mod n)."""
+    ks = [1, 2, 3, 4, ref.N - 1, ref.N - 2, ref.GX % ref.N,
+          0x3FF, 0x400, 0x401, (1 << 255) + 12346,
+          (0x3FF << 10) | 0x3FF] + \
+        [v % (ref.N - 1) + 1 for v in _rand_vals(16, seed=8)]
+    enc = m13.odd_encode_rows(_words_be(ks), wbits)
+    windows = m13._n_windows(wbits)
+    assert len(enc) == windows
+    tsize = m13._tsize(wbits, "odd")
+    for j, k in enumerate(ks):
+        total = 0
+        for w in range(windows):
+            e = int(enc[w][j])
+            idx, sign = e & 0x7FFF, e >> 15
+            assert idx < tsize, (w, idx)
+            mag = 2 * idx + 1
+            total += (-mag if sign else mag) << (wbits * w)
+        expect = k if k % 2 else k + ref.N
+        assert total == expect, hex(k)
+        assert total % ref.N == k % ref.N
+
+
 @pytest.mark.parametrize("wbits,signed", [(8, False), (10, False),
-                                          (10, True), (11, True)])
+                                          (10, True), (11, True),
+                                          (10, "odd"), (11, "odd")])
 def test_chain_matches_oracle(wbits, signed):
     ks = [1, 2, 3, 255, 256, 257, 0xDEADBEEF, 1 << 128, (1 << 255) + 12345,
           ref.N - 1, ref.N - 2, 0x100000000, 0x1000000000000,

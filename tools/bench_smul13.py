@@ -86,13 +86,16 @@ def main():
     log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 17
     wbits = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     lookup = sys.argv[3] if len(sys.argv) > 3 else "i8"
-    signed = len(sys.argv) > 4 and sys.argv[4] == "signed"
+    signed = False
+    if len(sys.argv) > 4:
+        signed = {"signed": True, "odd": "odd"}.get(sys.argv[4], False)
     n = 1 << log2
     print(f"device: {jax.devices()[0].device_kind}, batch {n}, "
           f"wbits {wbits}, lookup {lookup}, signed {signed}", flush=True)
     ks = interesting_scalars(n)
 
-    from vuke_tpu.ecc.pallas_smul13 import (scalar_mul_zz_pallas13,
+    from vuke_tpu.ecc.pallas_smul13 import (odd_encode_rows,
+                                            scalar_mul_zz_pallas13,
                                             signed_encode)
     from vuke_tpu.ecc.pallas_smul import scalar_mul_zz_pallas
 
@@ -101,12 +104,20 @@ def main():
                                                    signed=signed))
     print(f"compiling 13-bit kernel (wbits={wbits}, {lookup}, "
           f"signed={signed})...", flush=True)
-    du = digits_w(ks, wbits)
-    if signed:
-        digs = jnp.stack(signed_encode([du[:, w] for w in range(du.shape[1])],
-                                       wbits), axis=-1)
+    if signed == "odd":
+        words = np.array([[(k >> (32 * (7 - i))) & 0xFFFFFFFF
+                           for i in range(8)] for k in ks], dtype=np.uint32)
+        digs = jnp.stack(
+            odd_encode_rows([jnp.asarray(words[:, i]) for i in range(8)],
+                            wbits), axis=-1)
     else:
-        digs = du
+        du = digits_w(ks, wbits)
+        if signed:
+            digs = jnp.stack(
+                signed_encode([du[:, w] for w in range(du.shape[1])],
+                              wbits), axis=-1)
+        else:
+            digs = du
     dt13, out13 = bench("smul13", f13, digs)
     check_lanes("smul13", ks, *out13, lanes=list(range(12)) + [100, n - 1])
 
@@ -114,15 +125,11 @@ def main():
     print("compiling 16-bit kernel...", flush=True)
     dt16, out16 = bench("smul16", f16, digits_of(ks))
 
-    # cross-check the two kernels bit-for-bit on all lanes (same window
-    # decomposition -> identical accumulation chain only when wbits == 8;
-    # other widths produce different-but-valid (ZZ, ZZZ) representatives,
-    # hence the oracle check above instead)
-    if wbits == 8 and not signed:
-        same = all(np.array_equal(np.asarray(a), np.asarray(b))
-                   for a, b in zip(out13, out16))
-        print(f"bit-identical outputs across all {n} lanes: {same}",
-              flush=True)
+    # The kernels produce different-but-valid (ZZ, ZZZ) representatives
+    # (the 13-bit high-first reduce folds in a different order), so
+    # cross-checking is affine-level only — covered by the oracle check
+    # above; here just confirm the 16-bit kernel against a few lanes too.
+    check_lanes("smul16", ks, *out16, lanes=[0, 1, n - 1])
     print(f"speedup 13-bit vs 16-bit: {dt16 / dt13:.3f}x", flush=True)
 
 

@@ -59,6 +59,15 @@ def _signed_tsize(wbits: int) -> int:
     return (((1 << (wbits - 1)) + 1 + 7) // 8) * 8
 
 
+def _tsize(wbits: int, signed) -> int:
+    """Table rows for a digit mode: ``signed`` is False (unsigned windows),
+    True (signed digits), or "odd" (zero-free odd digits: rows are the odd
+    magnitudes 1, 3, .., 2^wbits - 1 at index (|d|-1)/2)."""
+    if signed == "odd":
+        return 1 << (wbits - 1)
+    return _signed_tsize(wbits) if signed else (1 << wbits)
+
+
 @functools.lru_cache(maxsize=4)
 def _table13_i8(wbits: int = 8, signed: bool = False) -> np.ndarray:
     """(n_windows, tsize, 80) int8 two-plane window table.
@@ -70,7 +79,8 @@ def _table13_i8(wbits: int = 8, signed: bool = False) -> np.ndarray:
     lookups stop scaling painfully with table size.
 
     ``signed``: entries cover |d| in 1..2^(wbits-1) only (signed-digit
-    recoding negates y in-kernel), halving the lookup cost again."""
+    recoding negates y in-kernel), halving the lookup cost again.
+    ``signed == "odd"``: rows are the odd magnitudes (see _table13_f32)."""
     t = _table13_f32(wbits, signed).astype(np.int32)  # (w, tsize, 40)
     lo = (t & 0x7F).astype(np.int8)
     hi = (t >> 7).astype(np.int8)
@@ -78,24 +88,37 @@ def _table13_i8(wbits: int = 8, signed: bool = False) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=4)
-def _table13_f32(wbits: int = 8, signed: bool = False) -> np.ndarray:
+def _table13_f32(wbits: int = 8, signed=False) -> np.ndarray:
     """(n_windows, tsize, 40) float32 fixed-base window table:
     entry [w, d] = affine (x limbs 0..19, y limbs 20..39, 13-bit) of
     d * 2^(wbits*w) * G.  Entry d=0 is (0, 0) — never selected.
-    ``signed``: d covers 1..2^(wbits-1) only (rows padded to 8)."""
+    ``signed``: d covers 1..2^(wbits-1) only (rows padded to 8).
+    ``signed == "odd"``: row j holds (2j+1) * 2^(wbits*w) * G — the
+    zero-free odd-digit table (every row a valid point, no d=0 row)."""
     windows = _n_windows(wbits)
-    tsize = _signed_tsize(wbits) if signed else (1 << wbits)
-    dmax = (1 << (wbits - 1)) if signed else (1 << wbits) - 1
+    tsize = _tsize(wbits, signed)
     out = np.zeros((windows, tsize, 2 * L13), dtype=np.float32)
+
+    def put(w, row, pt):
+        x, y = pt
+        for i in range(L13):
+            out[w, row, i] = (x >> (13 * i)) & 0x1FFF
+            out[w, row, L13 + i] = (y >> (13 * i)) & 0x1FFF
+
     base = (ref.GX, ref.GY)
     for w in range(windows):
-        acc = None
-        for d in range(1, dmax + 1):
-            acc = ref.point_add(acc, base)
-            x, y = acc
-            for i in range(L13):
-                out[w, d, i] = (x >> (13 * i)) & 0x1FFF
-                out[w, d, L13 + i] = (y >> (13 * i)) & 0x1FFF
+        if signed == "odd":
+            acc = base
+            step = ref.point_add(base, base)
+            for j in range(tsize):                 # acc = (2j+1) * base
+                put(w, j, acc)
+                acc = ref.point_add(acc, step)
+        else:
+            dmax = (1 << (wbits - 1)) if signed else (1 << wbits) - 1
+            acc = None
+            for d in range(1, dmax + 1):
+                acc = ref.point_add(acc, base)
+                put(w, d, acc)
         for _ in range(wbits):
             base = ref.point_add(base, base)
     return out
@@ -125,6 +148,66 @@ def signed_encode(unsigned_digits, wbits: int):
         out.append(jnp.where(mag == 0, jnp.zeros_like(mag), mag | sign_bit))
         carry = neg.astype(jnp.uint32)
     return out
+
+
+_N_WORDS_BE = [np.uint32((ref.N >> (32 * (7 - i))) & 0xFFFFFFFF)
+               for i in range(8)]
+
+
+def odd_encode_rows(word_rows, wbits: int):
+    """Zero-free odd-digit recoding of 8 BE u32 word rows (scalars in
+    [1, n-1]) -> list of n_windows encoded digit arrays, LSB window first.
+
+    Encoding: idx | (sign << 15) where the window value is
+    (2*idx + 1) * (-1)^sign — every window is a valid (odd) table row, so
+    the kernel needs no d=0 skip and no infinity tracking.
+
+    Even scalars first gain the (odd) group order n: k+n = k (mod n), so
+    the derived point is unchanged; k+n < 2^258 needs windows*wbits >= 258
+    (same headroom rule as signed_encode).  Digits then come from the
+    classic odd recoding: d = (k mod 2^(wbits+1)) - 2^wbits (odd,
+    |d| <= 2^wbits - 1), next k = ((k >> wbits) & ~1) | 1 — exact because
+    k - d = 2^(wbits+1)*floor(k / 2^(wbits+1)) + 2^wbits, and the quotient
+    stays odd so every subsequent digit is odd too.  After windows-1 steps
+    the remaining k (< 2^wbits, odd, positive) is the top digit."""
+    windows = _n_windows(wbits)
+    assert windows * wbits >= 258, "odd digits need >= 2 spare top bits"
+    one = np.uint32(1)
+    even = (word_rows[7] & one) == 0
+
+    # conditional k += n (carry chain from the least-significant word);
+    # the final carry is bit 256, kept as a 9th (most-significant) word
+    plus = [None] * 8
+    carry = jnp.zeros_like(word_rows[0])
+    for i in range(7, -1, -1):
+        t = word_rows[i] + _N_WORDS_BE[i]
+        c1 = (t < word_rows[i]).astype(jnp.uint32)
+        t2 = t + carry
+        c2 = (t2 < t).astype(jnp.uint32)
+        plus[i] = t2
+        carry = c1 | c2
+    zero = jnp.zeros_like(word_rows[0])
+    k = [jnp.where(even, carry, zero)] + \
+        [jnp.where(even, plus[i], word_rows[i]) for i in range(8)]
+
+    lowmask = np.uint32((1 << (wbits + 1)) - 1)
+    half = np.uint32(1 << wbits)
+    digs = []
+    for _ in range(windows - 1):
+        low = k[8] & lowmask                       # k mod 2^(wbits+1), odd
+        neg = low < half
+        mag = jnp.where(neg, half - low, low - half)   # odd, 1..2^wbits-1
+        digs.append((mag >> one) | (neg.astype(jnp.uint32) << np.uint32(15)))
+        # k = ((k >> wbits) & ~1) | 1 over the 9-word chain
+        sh = np.uint32(wbits)
+        ish = np.uint32(32 - wbits)
+        nk = [(k[i] >> sh) | (k[i - 1] << ish) if i else k[0] >> sh
+              for i in range(9)]
+        nk[8] = (nk[8] & ~one) | one
+        k = nk
+    # remaining k < 2^wbits (windows*wbits >= 258 headroom), odd, positive
+    digs.append(k[8] >> one)
+    return digs
 
 
 def _carry13(cols):
@@ -176,33 +259,53 @@ def _fold_tail13(limbs, extras):
 
 
 def _reduce13(cols):
-    """39 raw product columns (each < 2^31) -> normalized 20 limbs."""
-    limbs, carry = _carry13(cols)                      # 39 limbs + carry
-    lo = limbs[:20]
-    cols = list(lo) + [jnp.zeros_like(lo[0])] * 4      # room for fold pieces
-    for i in range(20, 39):                            # spill limbs
-        h = limbs[i]
-        idx = i - 20
+    """39 raw product columns (each < 2^31.7) -> normalized 20 limbs.
+
+    High-first: columns 20..38 are carried standalone (their carry-in from
+    the low half is deliberately deferred — the low half keeps its raw
+    columns and is carried only ONCE, after every fold piece has landed),
+    saving a full-width carry pass vs the carry-everything-first scheme
+    (~80 of ~460 vector ops per reduce, and a reduce runs 9x per window).
+
+    Bounds: spill limbs h <= 0x1FFF fold as h*(2^36 + 15632) anchored at
+    their position (pieces < 2^13 each); the high chain's carry-out is
+    small (col 38 is a single product < 2^26, so carry < 2^14) and folds
+    the same way at position 39.  Pieces land on raw low columns
+    (< 2^31.75 incl. the callers' fused row adds) + < 2^15 of pieces per
+    column — still under _carry13's 2^32 - 2^19 ceiling.  The three
+    extension columns 20..22 hold only fold pieces (< 2^16) and are folded
+    raw before the single low carry; the final carry (< 2^19) and l19 high
+    bits go through _fold_tail13 as before."""
+    hi, hcarry = _carry13(cols[20:])                   # 19 limbs + carry<2^14
+    z = cols[0] * np.uint32(0)
+    low = list(cols[:20]) + [z, z, z]
+    for i in range(19):                                # spill at limb 20+i
+        h = hi[i]
         a = h << np.uint32(10)
-        cols[idx + 2] = cols[idx + 2] + (a & _M13)
-        cols[idx + 3] = cols[idx + 3] + (a >> np.uint32(13))
+        low[i + 2] = low[i + 2] + (a & _M13)
+        low[i + 3] = low[i + 3] + (a >> np.uint32(13))
         b = h * _C15632
-        cols[idx] = cols[idx] + (b & _M13)
-        cols[idx + 1] = cols[idx + 1] + ((b >> np.uint32(13)) & _M13)
-        cols[idx + 2] = cols[idx + 2] + (b >> np.uint32(26))
-    # final carry of the 39-limb pass lives at limb position 39 -> idx 19
-    h = carry
-    a = h << np.uint32(10)
-    cols[21] = cols[21] + (a & _M13)
-    cols[22] = cols[22] + (a >> np.uint32(13))
-    b = h * _C15632
-    cols[19] = cols[19] + (b & _M13)
-    cols[20] = cols[20] + ((b >> np.uint32(13)) & _M13)
-    cols[21] = cols[21] + (b >> np.uint32(26))
-    limbs, carry = _carry13(cols)                      # 24 limbs + tiny carry
-    extras = [(limbs[20], 0), (limbs[21], 1), (limbs[22], 2), (limbs[23], 3),
-              (carry, 4)]
-    return _fold_tail13(limbs[:20], extras)
+        low[i] = low[i] + (b & _M13)
+        low[i + 1] = low[i + 1] + ((b >> np.uint32(13)) & _M13)
+        low[i + 2] = low[i + 2] + (b >> np.uint32(26))
+    a = hcarry << np.uint32(10)                        # carry at limb 39
+    low[21] = low[21] + (a & _M13)
+    low[22] = low[22] + (a >> np.uint32(13))
+    b = hcarry * _C15632
+    low[19] = low[19] + (b & _M13)
+    low[20] = low[20] + ((b >> np.uint32(13)) & _M13)
+    low[21] = low[21] + (b >> np.uint32(26))
+    for j in range(3):                                 # ext cols, < 2^16
+        h = low[20 + j]
+        a = h << np.uint32(10)
+        low[j + 2] = low[j + 2] + (a & _M13)
+        low[j + 3] = low[j + 3] + (a >> np.uint32(13))
+        b = h * _C15632
+        low[j] = low[j] + (b & _M13)
+        low[j + 1] = low[j + 1] + ((b >> np.uint32(13)) & _M13)
+        low[j + 2] = low[j + 2] + (b >> np.uint32(26))
+    limbs, carry = _carry13(low[:20])
+    return _fold_tail13(limbs, [(carry, 0)])
 
 
 def _school_cols(a, b):
@@ -393,6 +496,12 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
     adds -|d|*2^(wbits*w)*G by negating the looked-up y (4p - y, a valid
     _madd13 operand: limbs <= 0x1FFF, value <= 4p).
 
+    ``signed == "odd"``: zero-free odd digits (odd_encode_rows) — every
+    window selects a valid table row, so the d=0 skip and the
+    infinity-accumulator select chains vanish: window 0 initializes the
+    accumulator directly from its lookup and the loop runs windows
+    1..n-1 as unconditional mixed adds (~6 _select13 fewer per window).
+
     ``prefetch``: software-pipeline the table lookup — carry window w's
     looked-up (x2, y2) in the loop state and issue window w+1's MXU dots
     inside w's body, so the scheduler can overlap them with the VPU-bound
@@ -446,21 +555,35 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
             y2 = _select13(sign, _neg13(y2), y2)
         return x2, y2
 
+    zero_free = signed == "odd"
+
     def body(w, carry):
         if prefetch:
-            X_a, Y_a, ZZ_a, ZZZ_a, acc_inf, x2_a, y2_a = carry
+            if zero_free:
+                X_a, Y_a, ZZ_a, ZZZ_a, x2_a, y2_a = carry
+            else:
+                X_a, Y_a, ZZ_a, ZZZ_a, acc_inf, x2_a, y2_a = carry
             x2, y2 = rows(x2_a), rows(y2_a)
             nx2, ny2 = lookup(jnp.minimum(w + 1, n_windows - 1))
         else:
-            X_a, Y_a, ZZ_a, ZZZ_a, acc_inf = carry
+            if zero_free:
+                X_a, Y_a, ZZ_a, ZZZ_a = carry
+            else:
+                X_a, Y_a, ZZ_a, ZZZ_a, acc_inf = carry
             x2, y2 = lookup(w)
         X, Y = rows(X_a), rows(Y_a)
         ZZ, ZZZ = rows(ZZ_a), rows(ZZZ_a)
-        d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
 
         # fused mixed add in (ZZ, ZZZ) coordinates: 8M + 2S
         X3, Y3, ZZ3, ZZZ3 = _madd13(X, Y, ZZ, ZZZ, x2, y2)
 
+        if zero_free:
+            out = (stack(X3), stack(Y3), stack(ZZ3), stack(ZZZ3))
+            if prefetch:
+                out = out + (stack(nx2), stack(ny2))
+            return out
+
+        d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
         one_rows = [jnp.full((8, 128), np.uint32(1) if i == 0 else np.uint32(0),
                              dtype=jnp.uint32) for i in range(L13)]
         inf_b = acc_inf != 0
@@ -479,12 +602,24 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
             out = out + (stack(nx2), stack(ny2))
         return out
 
-    z = jnp.zeros((L13, 8, 128), jnp.uint32)
-    init = (z, z, z, z, jnp.ones((8, 128), jnp.uint32))
-    if prefetch:
+    if zero_free:
+        # window 0 is always a valid point: seed the accumulator from its
+        # lookup ((ZZ, ZZZ) = 1) and run windows 1.. as unconditional adds
         x20, y20 = lookup(0)
-        init = init + (stack(x20), stack(y20))
-    res = jax.lax.fori_loop(0, n_windows, body, init)
+        one_rows = [jnp.full((8, 128), np.uint32(1) if i == 0 else np.uint32(0),
+                             dtype=jnp.uint32) for i in range(L13)]
+        init = (stack(x20), stack(y20), stack(one_rows), stack(one_rows))
+        if prefetch:
+            x21, y21 = lookup(1)
+            init = init + (stack(x21), stack(y21))
+        res = jax.lax.fori_loop(1, n_windows, body, init)
+    else:
+        z = jnp.zeros((L13, 8, 128), jnp.uint32)
+        init = (z, z, z, z, jnp.ones((8, 128), jnp.uint32))
+        if prefetch:
+            x20, y20 = lookup(0)
+            init = init + (stack(x20), stack(y20))
+        res = jax.lax.fori_loop(0, n_windows, body, init)
     X_a, Y_a, ZZ_a, ZZZ_a = res[0], res[1], res[2], res[3]
     if out13:
         # raw 13-bit rows (value < 2^258 for Y after a signed top-window
@@ -510,7 +645,7 @@ def _prefetch_default() -> bool:
 
 @functools.lru_cache(maxsize=8)
 def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False,
-                 lookup: str = "i8", signed: bool = False,
+                 lookup: str = "i8", signed=False,
                  out13: bool = False, prefetch: bool | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -518,7 +653,7 @@ def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False,
     if prefetch is None:
         prefetch = _prefetch_default()
     windows = _n_windows(wbits)
-    tsize = _signed_tsize(wbits) if signed else (1 << wbits)
+    tsize = _tsize(wbits, signed)
     tab_cols = 4 * L13 if lookup == "i8" else 2 * L13
     out_rows = L13 if out13 else 16
     nb = n // tile
@@ -548,9 +683,10 @@ def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False,
 
 def scalar_mul_zz_pallas13(digits, tile: int = 1024, wbits: int = 8,
                            interpret: bool = False, lookup: str = "i8",
-                           signed: bool = False):
+                           signed=False):
     """digits: (N, n_windows) uint32 wbits-wide windows (LSB window first;
-    signed-encoded |d| | sign<<15 when ``signed``) -> (X, Y, ZZ, ZZZ) as
+    signed-encoded |d| | sign<<15 when ``signed``; odd-encoded
+    idx | sign<<15 when ``signed == "odd"``) -> (X, Y, ZZ, ZZZ) as
     (N, 16) 16-bit limb arrays (same contract as
     pallas_smul.scalar_mul_zz_pallas)."""
     n = digits.shape[0]

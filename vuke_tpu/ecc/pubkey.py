@@ -63,9 +63,14 @@ def normalize_scalar(words):
     return out
 
 
-def scalar_digits(words, wbits: int = 8, signed: bool = False):
+def scalar_digits(words, wbits: int = 8, signed=False):
     """(..., 8) BE words -> (..., n_windows) wbits-wide windows, LSB first.
-    ``signed``: |d| | sign<<15 signed-digit recoding (half-size tables)."""
+    ``signed``: |d| | sign<<15 signed-digit recoding (half-size tables);
+    ``signed == "odd"``: zero-free odd-digit recoding (odd_encode_rows)."""
+    if signed == "odd":
+        from .pallas_smul13 import odd_encode_rows
+        return jnp.stack(
+            odd_encode_rows([words[..., i] for i in range(8)], wbits), axis=-1)
     windows = -(-256 // wbits)
     mask = np.uint32((1 << wbits) - 1)
     digs = []

@@ -20,8 +20,9 @@ from .pallas_smul import (_add_t, _carry_rows, _mul_t, _neg_t, _reduce_rows,
 
 
 def use_smul13() -> bool:
-    """13-bit-limb scalar-mul kernel (1.24x the 16-bit one, bit-identical
-    outputs — see tools/bench_smul13.py) unless disabled via env."""
+    """13-bit-limb scalar-mul kernel (~1.9x the 16-bit one with odd digits
+    + the high-first reduce — see tools/bench_smul13.py; affine-equal
+    outputs, bit-exact vs the host oracle) unless disabled via env."""
     import os
     return os.environ.get("VUKE_TPU_SMUL13", "1") not in ("0", "false", "no")
 
@@ -44,14 +45,22 @@ def lookup_mode() -> str:
     return os.environ.get("VUKE_TPU_LOOKUP", "i8")
 
 
-def signed_digits() -> bool:
-    """Signed-digit windows (|d| <= 2^(wbits-1)): half-size tables, half
-    the lookup cost, one in-kernel y-negate select.  Needs wbits that
-    leaves >= 2 spare top bits (any wbits >= 9; w8 stays unsigned)."""
+def signed_digits():
+    """Digit recoding mode: "odd" (default — zero-free odd digits, no d=0
+    skip or infinity tracking in the kernel), True (signed digits,
+    |d| <= 2^(wbits-1)), or False (unsigned windows).  Both recodings need
+    wbits leaving >= 2 spare top bits (any wbits >= 9; w8 stays unsigned).
+    Env: VUKE_TPU_DIGITS=odd|signed|unsigned (VUKE_TPU_SIGNED=0 still
+    forces unsigned for back-compat)."""
     import os
     if window_bits() * (-(-256 // window_bits())) < 258:
         return False
-    return os.environ.get("VUKE_TPU_SIGNED", "1") not in ("0", "false", "no")
+    mode = os.environ.get("VUKE_TPU_DIGITS")
+    if mode is not None:
+        return {"odd": "odd", "signed": True}.get(mode, False)
+    if os.environ.get("VUKE_TPU_SIGNED") in ("0", "false", "no"):
+        return False
+    return "odd"
 
 _N_WORDS = np.array([(ref.N >> (32 * (7 - i))) & 0xFFFFFFFF for i in range(8)],
                     dtype=np.uint32)
@@ -247,12 +256,18 @@ def _normalize_words_t(words_t):
     return out
 
 
-def _digits_t(words_t, wbits: int = 8, signed: bool = False):
+def _digits_t(words_t, wbits: int = 8, signed=False):
     """(8, ...) BE words -> (n_windows, ...) wbits-wide windows, LSB first.
 
     Window w covers scalar bits [wbits*w, wbits*(w+1)); widths that don't
     divide 32 straddle word boundaries (hence the two-word stitch).
-    ``signed``: recode into |d| | sign<<15 signed digits (half tables)."""
+    ``signed``: recode into |d| | sign<<15 signed digits (half tables);
+    ``signed == "odd"``: zero-free odd-digit recoding (works from the full
+    words, so the windowed slicing is skipped)."""
+    if signed == "odd":
+        from .pallas_smul13 import odd_encode_rows
+        return jnp.stack(
+            odd_encode_rows([words_t[i] for i in range(8)], wbits), axis=0)
     windows = -(-256 // wbits)
     mask = np.uint32((1 << wbits) - 1)
     digs = []
