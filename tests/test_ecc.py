@@ -163,6 +163,47 @@ def test_point_add_general_edge_cases():
     assert bool(np.asarray(field.fe_is_zero(Z))[0])
 
 
+def test_batch_inverse_tiles_grouped_math(monkeypatch):
+    """The grouped Montgomery scan (g > 1) inverts every lane exactly.
+
+    The Fermat chain is stubbed with a host modpow oracle so the test only
+    exercises the new grouping algebra (in-group scans + cross-group
+    prefix/suffix combine); the real chain is covered by the TPU-tier
+    tests in test_tiled_math.py."""
+    from vuke_tpu.ecc import tiled
+
+    def oracle_inv(rows):
+        flat = np.stack([np.asarray(r) for r in rows]).reshape(16, -1)
+        vals = [sum(int(flat[i, j]) << (16 * i) for i in range(16))
+                for j in range(flat.shape[1])]
+        inv = np.zeros_like(flat)
+        for j, v in enumerate(vals):
+            iv = pow(v % ref.P, ref.P - 2, ref.P)
+            for i in range(16):
+                inv[i, j] = (iv >> (16 * i)) & 0xFFFF
+        inv = inv.reshape((16,) + np.asarray(rows[0]).shape)
+        return [jnp.asarray(inv[i]) for i in range(16)]
+
+    monkeypatch.setenv("VUKE_TPU_INVGROUP", "2")
+    monkeypatch.setattr(tiled, "_fe_inv_rows", oracle_inv)
+
+    rng = np.random.RandomState(9)
+    nb = 4
+    n = nb * 8 * 128
+    vals = [int.from_bytes(rng.bytes(32), "big") % ref.P or 1
+            for _ in range(n)]
+    z = np.zeros((16, n), dtype=np.uint32)
+    for j, v in enumerate(vals):
+        for i in range(16):
+            z[i, j] = (v >> (16 * i)) & 0xFFFF
+    inv = np.asarray(
+        tiled._batch_inverse_tiles(jnp.asarray(z.reshape(16, nb, 8, 128)))
+    ).reshape(16, n)
+    for j in (0, 1, 1023, 1024, 2047, 2048, n - 1):
+        got = sum(int(inv[i, j]) << (16 * i) for i in range(16)) % ref.P
+        assert got == pow(vals[j], ref.P - 2, ref.P), j
+
+
 def test_tiled_words_layout_and_normalize_parity():
     """The scan fast path's entry transpose + tile-layout normalize agree
     with the lane-major normalize_scalar (derive_tiled_from_words's only

@@ -108,20 +108,76 @@ def _use_associative_scan() -> bool:
     return os.environ.get("VUKE_TPU_ASCAN", "0") not in ("0", "false", "no")
 
 
+def _inv_groups(nb: int) -> int:
+    """Scan-group count for _batch_inverse_tiles: the sequential Montgomery
+    scan costs 2*nb tiny dependent steps whose per-step overhead dominated
+    the stage; running g groups side by side (each scan step multiplies a
+    g-wide batch) cuts the dependent-step count to 2*nb/g + O(g) for the
+    same total field-mul work.  VUKE_TPU_INVGROUP overrides (1 = legacy
+    sequential scan)."""
+    import os
+    g = int(os.environ.get("VUKE_TPU_INVGROUP", "16"))
+    while g > 1 and nb % g:
+        g //= 2
+    return max(1, min(g, nb))
+
+
 def _batch_inverse_tiles(z):
     """Montgomery inversion over the tile axis.
 
     z: (16, nb, 8, 128) uint32 -> elementwise inverses, same shape.
 
-    Default: log-depth associative scans — inclusive prefix products P
-    and suffix products S, one Fermat inversion of the total, then
-    inv(z_k) = P_{k-1} * inv_total * S_{k+1}.  ~2x the field muls of the
-    sequential Montgomery scan but log2(nb) sweeps of full-width vector
-    work instead of 2*nb tiny sequential steps (per-step overhead
-    dominated the stage).  VUKE_TPU_ASCAN=0 reverts to sequential scans.
+    Default: grouped Montgomery scans (see _inv_groups) — g independent
+    in-group prefix scans batched into one lax.scan of length nb/g, a
+    tiny sequential cross-group prefix/suffix combine over the g group
+    totals, ONE Fermat inversion of the grand total, then the batched
+    backward scans seeded per group with inv(total_j) = G_j*ig*S_j.
+    VUKE_TPU_ASCAN=1 instead uses log-depth associative scans (bit-exact
+    but the unrolled graph compiles >700s); VUKE_TPU_INVGROUP=1 reverts
+    to the plain sequential scan.
     """
     nb = z.shape[1]
     zc = jnp.moveaxis(z, 1, 0)                     # (nb, 16, 8, 128)
+
+    g = _inv_groups(nb)
+    if g > 1 and not _use_associative_scan():
+        m = nb // g
+        zg = zc.reshape(g, m, 16, 8, 128).transpose(1, 0, 2, 3, 4)
+
+        def mulg(a, b):                            # (g, 16, 8, 128) muls
+            return jnp.stack(_mul_t([a[:, i] for i in range(16)],
+                                    [b[:, i] for i in range(16)]), axis=1)
+
+        def mul1(a, b):                            # (16, 8, 128) muls
+            return jnp.stack(_mul_t([a[i] for i in range(16)],
+                                    [b[i] for i in range(16)]), axis=0)
+
+        def fwd(acc, zk):
+            return mulg(acc, zk), acc
+
+        oneg = (zg[0] * np.uint32(0)).at[:, 0].set(1)
+        totals, prefixes = jax.lax.scan(fwd, oneg, zg)  # (g,..), (m,g,..)
+
+        one1 = (totals[0] * np.uint32(0)).at[0].set(1)
+        pres = [one1]                              # G_j = total_0..total_{j-1}
+        for j in range(1, g):
+            pres.append(mul1(pres[-1], totals[j - 1]))
+        sufs = [one1] * g                          # S_j = total_{j+1}..
+        for j in range(g - 2, -1, -1):
+            sufs[j] = mul1(sufs[j + 1], totals[j + 1])
+        grand = mul1(pres[-1], totals[-1])
+        ig = jnp.stack(_fe_inv_rows([grand[i] for i in range(16)]), axis=0)
+        G = jnp.stack(pres, axis=0)
+        S = jnp.stack(sufs, axis=0)
+        it = mulg(mulg(G, S), jnp.broadcast_to(ig[None], G.shape))
+
+        def bwd(ia, xs):
+            zk, pref = xs
+            return mulg(ia, zk), mulg(ia, pref)
+
+        _, invg = jax.lax.scan(bwd, it, (zg, prefixes), reverse=True)
+        inv = invg.transpose(1, 0, 2, 3, 4).reshape(nb, 16, 8, 128)
+        return jnp.moveaxis(inv, 0, 1)
 
     if _use_associative_scan() and nb > 1:
         def mulp(a, b):
