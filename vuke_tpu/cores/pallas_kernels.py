@@ -30,9 +30,22 @@ TILE = 1024
 # MT19937 keygen
 # ---------------------------------------------------------------------------
 
+def _mt_tiles(nb: int) -> int:
+    """Tiles interleaved per MT kernel invocation.  The 405-step init
+    recurrence is a DEPENDENT ~1600-op chain on a single (8,128) vreg, so
+    one tile per grid step is VPU-latency-bound; running T tiles' chains
+    side by side (every op a (T,8,128) batch of independent vregs) turns
+    the stage throughput-bound.  Env VUKE_TPU_MT_TILES overrides."""
+    import os
+    t = int(os.environ.get("VUKE_TPU_MT_TILES", "8"))
+    while t > 1 and nb % t:
+        t //= 2
+    return max(1, t)
+
+
 def _mt_kernel(seeds_ref, out_ref):
-    """seeds (1, 8, 128) uint32 -> out (8, 1, 8, 128): 8 BE key words."""
-    s = seeds_ref[0]                                  # (8, 128)
+    """seeds (T, 8, 128) uint32 -> out (8, T, 8, 128): 8 BE key words."""
+    s = seeds_ref[:]                                  # (T, 8, 128)
     taps = {0: s}
     prev = s
     for i in range(1, 405):
@@ -48,7 +61,7 @@ def _mt_kernel(seeds_ref, out_ref):
         x = x ^ ((x << np.uint32(7)) & _TEMPER_B)
         x = x ^ ((x << np.uint32(15)) & _TEMPER_C)
         x = x ^ (x >> np.uint32(18))
-        out_ref[i, 0] = byteswap32(x)                 # LE bytes -> BE word
+        out_ref[i] = byteswap32(x)                    # LE bytes -> BE words
 
 
 @functools.lru_cache(maxsize=4)
@@ -56,12 +69,13 @@ def _mt_call(n: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nb = n // TILE
+    t = _mt_tiles(nb)
     return pl.pallas_call(
         _mt_kernel,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        grid=(nb // t,),
+        in_specs=[pl.BlockSpec((t, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, 1, 8, 128), lambda i: (0, i, 0, 0),
+        out_specs=pl.BlockSpec((8, t, 8, 128), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, nb, 8, 128), jnp.uint32),
     )
