@@ -91,6 +91,7 @@ def main():
     stages = os.environ.get("VUKE_BENCH_STAGES", "xla,tiled").split(",")
 
     best = None
+    tiled_ok = False
     for i, mode in enumerate(s.strip() for s in stages if s.strip()):
         elapsed = time.time() - t0
         remaining = budget - elapsed - 30.0
@@ -104,9 +105,22 @@ def main():
         r = _run_stage(mode, max(timeout_s, 120.0))
         if r is None:
             continue
+        if mode.startswith("tiled"):
+            tiled_ok = True
         if best is None or r["derivations_per_sec"] > best["derivations_per_sec"]:
             best = r
             _emit(best)
+
+    # insurance: if the tiled stage produced nothing (e.g. a lowering
+    # failure in the newest kernel), retry on the proven signed-digit path
+    if not tiled_ok and "tiled" in stages:
+        remaining = budget - (time.time() - t0) - 30.0
+        if remaining > 240.0:
+            r = _run_stage("tiled_signed", remaining)
+            if r is not None and (best is None or
+                                  r["derivations_per_sec"] > best["derivations_per_sec"]):
+                best = r
+                _emit(best)
 
     if best is None:
         # last resort: tiny in-process run so the driver gets *a* number

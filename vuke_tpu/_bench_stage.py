@@ -27,6 +27,12 @@ def main():
         os.environ["VUKE_BENCH_TILED"] = "0"
     elif mode == "tiled":
         os.environ["VUKE_BENCH_TILED"] = "1"
+    elif mode == "tiled_signed":
+        # insurance stage: the tiled pipeline on the round-2-proven
+        # signed-digit kernel, in case the newer odd-digit default hits a
+        # lowering issue on the driver's hardware
+        os.environ["VUKE_BENCH_TILED"] = "1"
+        os.environ["VUKE_TPU_DIGITS"] = "signed"
 
     t0 = time.time()
     print(f"[stage {mode}] importing jax...", file=sys.stderr, flush=True)
