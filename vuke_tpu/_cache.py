@@ -9,7 +9,12 @@ every process paid full Mosaic recompiles).
 
 import os
 
-DEFAULT_CACHE_DIR = os.environ.get("VUKE_JAX_CACHE_DIR", "/tmp/vuke_tpu_jax_cache")
+# Lives inside the repo (gitignored): /tmp is wiped across machine restarts
+# and a cold cache costs minutes of Mosaic recompiles per program.  Cache
+# entries are keyed by computation hash, not path, so dirs are mergeable.
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_CACHE_DIR = os.environ.get("VUKE_JAX_CACHE_DIR",
+                                   os.path.join(_REPO_DIR, ".jax_cache"))
 
 _done = False
 
