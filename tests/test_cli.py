@@ -113,3 +113,38 @@ def test_generate_output_file_closed(runner, tmp_path):
     assert r.exit_code == 0, r.output
     lines = [l for l in out_path.read_text().splitlines() if l]
     assert len(lines) == 30  # direct emits be/le/string slots per seed
+
+
+def test_single_never_touches_device(runner, monkeypatch):
+    """`single` must be instant: a 1-string digest takes the host-oracle
+    path unconditionally (reference `single` is instant, main.rs:954-992).
+    Round-2 regression: it blocked minutes on a remote device compile."""
+    import vuke_tpu.transforms.strings as strings
+
+    def _boom(*a, **k):
+        raise AssertionError("single routed a tiny batch to the device")
+
+    monkeypatch.setattr(strings, "_sha256_jit", _boom)
+    monkeypatch.setattr(strings, "_sha256d_jit", _boom)
+    monkeypatch.setattr(strings, "_md5_jit", _boom)
+    for t in ("sha256", "double_sha256", "md5", "sha256_chain:iterated"):
+        r = runner.invoke(cli, ["single", "abc", "--transform", t])
+        assert r.exit_code == 0, r.output
+    r = runner.invoke(cli, ["single", "correct horse battery staple",
+                            "--transform", "sha256"])
+    assert "L3p8oAcQTtuokSCRHQ7i4MhjWc9zornvpJLfmg62sYpLRJF9woSu" in r.output
+
+
+def test_host_digest_matches_device_path(monkeypatch):
+    """Host hashlib fast path is bit-identical to the device bucket path."""
+    import numpy as np
+    from vuke_tpu.transforms import strings
+
+    datas = [b"", b"abc", b"x" * 55, b"y" * 56, b"z" * 200]
+    host = {a: strings._host_digest(datas, a)
+            for a in ("sha256", "double_sha256", "md5")}
+    monkeypatch.setenv("VUKE_HOST_DIGEST_MAX", "0")
+    for algo, h in host.items():
+        dev = strings.batched_digest(datas, algo)
+        assert dev.dtype == np.uint32
+        np.testing.assert_array_equal(np.asarray(h, dtype=np.uint32), dev)

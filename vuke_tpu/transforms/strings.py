@@ -37,6 +37,29 @@ def _bucket_indices(datas: Sequence[bytes], nblocks_fn):
     return buckets
 
 
+def _host_digest_max() -> int:
+    """Batches at or below this size hash on the host (hashlib), never the
+    device.  `vuke single` and small wordlists must not wait on a device
+    compile — the reference's `single` is instant (main.rs:954-992); round-2
+    routed a 1-string digest through the PAD=1024 device program and blocked
+    on a remote compile for minutes."""
+    import os
+    return int(os.environ.get("VUKE_HOST_DIGEST_MAX", 4096))
+
+
+def _host_digest(datas: Sequence[bytes], algo: str) -> np.ndarray:
+    import hashlib
+    if algo == "md5":
+        return np.stack([np.frombuffer(hashlib.md5(d).digest(), dtype="<u4")
+                         for d in datas])
+    if algo == "sha256":
+        return np.stack([np.frombuffer(hashlib.sha256(d).digest(), dtype=">u4")
+                         for d in datas])
+    return np.stack([np.frombuffer(
+        hashlib.sha256(hashlib.sha256(d).digest()).digest(), dtype=">u4")
+        for d in datas])
+
+
 @jax.jit
 def _sha256_jit(blocks):
     return sha256_core.sha256_blocks(blocks)
@@ -58,6 +81,10 @@ def batched_digest(datas: Sequence[bytes], algo: str) -> np.ndarray:
     Returns (N, 8) BE digest words for sha256/double_sha256, (N, 4) LE words
     for md5.
     """
+    if len(datas) == 0:
+        return np.zeros((0, 4 if algo == "md5" else 8), dtype=np.uint32)
+    if len(datas) <= _host_digest_max():
+        return _host_digest(datas, algo)
     if algo == "md5":
         out = np.zeros((len(datas), 4), dtype=np.uint32)
         nb = lambda n: (n + 9 + 63) // 64
@@ -139,10 +166,18 @@ def make_string_sha256_chain(variant: str | None, depth: int) -> StringTransform
             if v == "iterated":
                 key = batched_digest(datas, "sha256")
                 chain = [key]
-                kw = jnp.asarray(key)
-                for _ in range(depth - 1):
-                    kw = jax.jit(sha256_key_words)(kw)
-                    chain.append(np.asarray(kw))
+                if len(datas) <= _host_digest_max():
+                    import hashlib
+                    cur = [k.astype(">u4").tobytes() for k in key]
+                    for _ in range(depth - 1):
+                        cur = [hashlib.sha256(b).digest() for b in cur]
+                        chain.append(np.stack(
+                            [np.frombuffer(b, dtype=">u4") for b in cur]))
+                else:
+                    kw = jnp.asarray(key)
+                    for _ in range(depth - 1):
+                        kw = jax.jit(sha256_key_words)(kw)
+                        chain.append(np.asarray(kw))
                 cols.extend(chain)
             elif v.startswith("indexed"):
                 be = v.endswith("be")
