@@ -112,12 +112,37 @@ def test_resolve_boha_collection_filter():
 
 
 def test_resolve_boha_filters():
-    total = len(provider.resolve("boha:b1000").addresses)
+    total = len(provider.resolve("boha:b1000:all").addresses)
     solved = len(provider.resolve("boha:b1000:solved").addresses)
     unsolved = len(provider.resolve("boha:b1000:unsolved").addresses)
     assert total == solved + unsolved
+    # bare collection defaults to the unsolved filter (provider.rs:200-207)
+    assert len(provider.resolve("boha:b1000").addresses) == unsolved
     with_pk = provider.resolve("boha:b1000:with-pubkey").addresses
-    assert len(with_pk) <= total
+    assert len(with_pk) <= unsolved
+
+
+def test_resolve_boha_all_pseudo_collection():
+    # provider.rs:185-192: "all:<filter>" spans every collection
+    every = provider.resolve("boha:all:all").addresses
+    b1000 = provider.resolve("boha:b1000:all").addresses
+    gsmg = provider.resolve("boha:gsmg:all").addresses
+    assert set(b1000) <= set(every)
+    assert set(gsmg) <= set(every)
+    assert len(every) > len(b1000)
+
+
+def test_resolve_boha_all_collections():
+    # provider.rs:570-577: every collection resolves
+    for coll in ("b1000", "gsmg", "bitaps", "hash_collision", "zden", "bitimage"):
+        assert provider.resolve(f"boha:{coll}:all") is not None
+
+
+def test_b1000_has_256_puzzles():
+    # provider.rs:556: verify_key's total_checked over b1000 is 256
+    report = provider.verify_key((0xFF).to_bytes(32, "big") * 4 + b"\0" * 28,
+                                 "b1000")
+    assert report.total_checked == 256
 
 
 def test_resolve_boha_invalid_collection():
@@ -131,27 +156,74 @@ def test_resolve_invalid_filter():
 
 
 def test_build_cascade():
-    # provider.rs:512-527: neighbors of a puzzle, ascending bit counts,
-    # masked with the analyzer formula, no duplicate bit widths
+    # provider.rs:512-527 test + :330-396 semantics: below-neighbors only,
+    # ascending bit counts, masked with the analyzer formula, bits < 64
     targets = provider.build_cascade("b1000", 66, 5)
     assert targets
+    assert len(targets) <= 5
     bits = [b for b, _ in targets]
     assert bits == sorted(bits)
-    assert len(set(bits)) == len(bits)
+    assert all(0 < b < 64 for b in bits)   # 64/65-bit neighbors skipped
+    assert bits == [61, 62, 63]            # of 61..65, only bits<64 qualify
     for b, t in targets:
         assert t >> (b - 1) & 1 == 1      # high bit forced
-        if b < 64:
-            assert t < (1 << b)
+        assert t < (1 << b)
+
+
+def test_build_cascade_values():
+    # masked value = (key & (2^bits-1)) | 2^(bits-1) over the low 8 bytes
+    targets = dict(provider.build_cascade("b1000", 12, 3))
+    assert targets[11] == (0x483 & ((1 << 11) - 1)) | (1 << 10)
+    assert targets[10] == (0x202 & ((1 << 10) - 1)) | (1 << 9)
+    assert targets[9] == (0x1D3 & ((1 << 9) - 1)) | (1 << 8)
+
+
+def test_build_cascade_default_neighbors():
+    # provider.rs:529-537: bare reference defaults to 5 neighbors
+    targets = provider.parse_cascade_ref("boha:b1000:10")
+    assert targets
+    assert len(targets) <= 5
+    assert provider.parse_cascade_ref("plain.txt") is None
+
+
+def test_build_cascade_non_b1000_rejected():
+    with pytest.raises(ValueError):
+        provider.build_cascade("gsmg", 1, 5)
 
 
 def test_verify_key():
-    # b1000 puzzle #1 key is 0x1
-    hit = provider.verify_key((1).to_bytes(32, "big"), "b1000")
-    assert hit is not None
-    puzzle, kind = hit
-    assert puzzle.id == 1
-    assert kind == "p2pkh_compressed"
+    # provider.rs:541-560: b1000 puzzle #1 key is 0x1; 256 puzzles checked
+    report = provider.verify_key((1).to_bytes(32, "big"), "b1000")
+    assert report.matches
+    assert report.total_checked == 256
+    m = report.matches[0]
+    assert m.puzzle.id == 1
+    assert m.address_type == "p2pkh_compressed"
 
 
 def test_verify_key_miss():
-    assert provider.verify_key((0xDEADBEEF).to_bytes(32, "big"), "b1000") is None
+    # provider.rs:563-570: 0xff..ff key matches nothing
+    report = provider.verify_key(b"\xff" * 32, "b1000")
+    assert report.matches == []
+
+
+def test_verify_key_all_collections():
+    report = provider.verify_key((1).to_bytes(32, "big"), "all")
+    assert report.total_checked > 256
+    assert any(m.puzzle.id == 1 and m.collection == "b1000"
+               for m in report.matches)
+
+
+def test_solved_puzzle_addresses_derive_from_keys():
+    # every solved b1000 key must reproduce its own address — the dataset
+    # is self-consistent with the golden-tested deriver
+    from vuke_tpu.derive import KeyDeriver
+    deriver = KeyDeriver()
+    res = provider.resolve("boha:b1000:solved")
+    solved = [p for p in provider._collection("b1000") if p.solved]
+    assert len(solved) >= 79
+    for p in solved[:8] + solved[-3:]:   # spot-check ends (full set is slow)
+        d = deriver.derive(int(p.key_hex, 16).to_bytes(32, "big"))
+        assert d.p2pkh_compressed == p.address, p.id
+        assert d.pubkey_compressed == p.pubkey, p.id
+    assert len(res.addresses) == len(solved)

@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Build vuke_tpu/data/puzzles.json — the offline boha-equivalent dataset.
+
+The reference resolves puzzle collections through the external ``boha``
+crate (/root/reference/src/provider.rs:216-320; Cargo.toml:66 boha = "0.11").
+That crate's data is not vendored in the reference tree and this build
+environment has no network egress, so the dataset is reconstructed from
+publicly documented puzzle data with *local verification*:
+
+* **Solved b1000 puzzles** ship their publicly documented private keys.
+  Every key is validated structurally (puzzle N's key must lie in
+  [2^(N-1), 2^N) — the defining property of the 1000-BTC puzzle) and the
+  address + compressed pubkey are *derived* from the key with this repo's
+  golden-tested KeyDeriver (tests/test_domain_vectors.py pins the
+  "correct horse battery staple" vector from derive.rs:178-200), so they
+  are exact whenever the key is correct.  Where an independently
+  remembered address exists it is cross-checked against the derived one;
+  any mismatch fails the build.
+* **Unsolved puzzles** carry addresses only where they could be written
+  down with confidence; each is gated by the base58check checksum (a
+  corrupted address string passes with probability ~2^-32).  Entries
+  whose address could not be reproduced offline ship ``address: null``
+  with a provenance note — they count toward collection totals (boha's
+  b1000 has 256 puzzles: provider.rs:577 asserts total_checked == 256)
+  but are skipped by address listings.
+
+Provenance values: "derived-from-key" | "remembered-checksummed" |
+"unavailable-offline".
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vuke_tpu import encode  # noqa: E402
+from vuke_tpu.derive import KeyDeriver  # noqa: E402
+
+# --- publicly documented solved keys of the 1000-BTC puzzle ("b1000") -------
+# Key for puzzle N is the discrete log of the funded address N; solved keys
+# were published by their finders (puzzle-tracking sites, bitcointalk).
+# Puzzles 1..66 solved sequentially; 70..130 step 5 solved via Pollard
+# kangaroo on the 2017-revealed pubkeys.  Snapshot ~reference release
+# (v0.9.0, early 2025): 67+ sequential and 135+ stepped remain unsolved.
+SOLVED_KEYS = {
+    1: "1", 2: "3", 3: "7", 4: "8", 5: "15", 6: "31", 7: "4c", 8: "e0",
+    9: "1d3", 10: "202", 11: "483", 12: "a7b", 13: "1460", 14: "2930",
+    15: "68f3", 16: "c936", 17: "1764f", 18: "3080d", 19: "5749f",
+    20: "d2c55", 21: "1ba534", 22: "2de40f", 23: "556e52", 24: "dc2a04",
+    25: "1fa5ee5", 26: "340326e", 27: "6ac3875", 28: "d916ce8",
+    29: "17e2551e", 30: "3d94cd64", 31: "7d4fe747", 32: "b862a62e",
+    33: "1a96ca8d8", 34: "34a65911d", 35: "4aed21170", 36: "9de820a7c",
+    37: "1757756a93", 38: "22382facd0", 39: "4b5f8303e9", 40: "e9ae4933d6",
+    41: "153869acc5b", 42: "2a221c58d8f", 43: "6bd3b27c591",
+    44: "e02b35a358f", 45: "122fca143c05", 46: "2ec18388d544",
+    47: "6cd610b53cba", 48: "ade6d7ce3b9b", 49: "174176b015f4d",
+    50: "22bd43c2e9354", 51: "75070a1a009d4", 52: "efae164cb9e3c",
+    53: "180788e47e326c", 54: "236fb6d5ad1f43", 55: "6abe1f9b67e114",
+    56: "9d18b63ac4ffdf", 57: "1eb25c90795d61c", 58: "2c675b852189a21",
+    59: "7496cbb87cab44f", 60: "fc07a1825367bbe", 61: "13c96a3742f64906",
+    62: "363d541eb611abee", 63: "7cce5efdaccf6808", 64: "f7051f27b09112d4",
+    65: "1a838b13505b26867", 66: "2832ed74f2b5e35ee",
+    70: "349b84b6431a6c4ef1",
+    75: "4c5ce114686a1336e07",
+    80: "ea1a5c66dcc11b5ad180",
+    85: "11720c4f018d51b8cebba8",
+    90: "2ce00bb2136a445c71e85bf",
+    95: "527a792b183c7f64a0e8b1f4",
+    100: "af55fc59c335c8ec67ed24826",
+    105: "16f14fc2054cd87ee6396b33df3",
+    110: "35c0d7234df7deb0f20cf7062444",
+    115: "60f4d11574f5deee49961d9609ac6",
+    120: "b10f22572c497a52765e1a69be4d4e",
+    125: "1c533b6bb7f0804e09960225e44877ac",
+    130: "33e7665705359f04f28b88cf897c603c9",
+}
+
+# --- independently remembered addresses (cross-check / unsolved targets) ----
+# Solved ids here are used ONLY as a cross-check against the key-derived
+# address (mismatch fails the build).  Unsolved ids become the shipped
+# address after passing base58check.
+REMEMBERED_ADDRESSES = {
+    1: "1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH",
+    2: "1CUNEBjYrCn2y1SdiUMohaKUi4wpP326Lb",
+    3: "19ZewH8Kk1PDbSNdJ97FP4EiCjTRaZMZQA",
+    4: "1EhqbyUMvvs7BfL8goY6qcPbD6YKfPqb7e",
+    5: "1E6NuFjCi27W5zoXg8TRdcSRq84zJeBW3k",
+    6: "1PitScNLyp2HCygzadCh7FveTnfmpPbfp8",
+    7: "1McVt1vMtCC7yn5b9wgX1833yCcLXzueeC",
+    8: "1M92tSqNmQLYw33fuBvjmeadirh1ysMBxK",
+    9: "1CQFwcjw1dwhtkVWBttNLDtqL7ivBonGPV",
+    10: "1LeBZP5QCwwgXRtmVUvTVrraqPUokyLHqe",
+    66: "13zb1hQbWVsc2S7ZTZnP2G4undNNpdh5so",
+    67: "1BY8GQbnueYofwSuFAT3USAhGjPrkxDdW9",
+    68: "1MVDYgVaSN6iKKEsbzRUAYFrYJadLYZvvZ",
+    69: "19vkiEajfhuZ8bs8Zu2jgmC6oqZbWqhxhG",
+    71: "1PWo3JeB9jrGwfHDNpdGK54CRas7fsVzXU",
+    72: "1JTK7s9YVYywfm5XUH7RNhHJH1LshCaRFR",
+    73: "12VVRNPi4SJqUTsp6FmqDqY5sGosDtysn4",
+    74: "1FWGcVDK3JGzCC3WtkYetULPszMaK2Jksv",
+    76: "1DJh2eHFYQfACPmrvpyWc8MSTYKh7w9eRF",
+    77: "1Bxk4CQdqL9p22JEtDfdXMsng1XacifUtE",
+    78: "15qF6X51huDjqTmF9BJgxXdt1xcj46Jmhb",
+    81: "15qsCm78whspNQFydGJQk5rexzxTQopnHZ",
+    82: "13zYrYhhJxp6Ui1VV7pqa5WDhNWM45ARAC",
+    83: "14MdEb4eFcT3MVG5sPFG4jGLuHJSnt1Dk2",
+    84: "1CMq3SvFcVEcpLMuuH8PUcNiqsK1oicG2D",
+    86: "1K3x5L6G57Y494fDqBfrojD28UJv4s5JcK",
+    87: "1PxH3K1Shdjb7gSEoTX7UPDZ6SH4qGPrvq",
+    88: "16AbnZjZZipwHMkYKBSfswGWKDmXHjEpSf",
+    89: "19QciEHbGVNY4hrhfKXmcBBCrJSBZ6TaVt",
+}
+
+
+def _checksum_ok(addr: str) -> bool:
+    try:
+        encode.base58check_decode(addr)
+        return True
+    except Exception:
+        return False
+
+
+def build_b1000(deriver: KeyDeriver):
+    puzzles = []
+    problems = []
+    for n in range(1, 257):
+        entry = {
+            "id": n, "bits": n, "address": None, "solved": False,
+            "pubkey": None, "key_hex": None, "prize": round(n * 0.1, 1),
+            "provenance": "unavailable-offline",
+        }
+        key_hex = SOLVED_KEYS.get(n)
+        if key_hex is not None:
+            k = int(key_hex, 16)
+            if not (1 << (n - 1)) <= k < (1 << n):
+                problems.append(f"b1000/{n}: key {key_hex} outside [2^{n-1}, 2^{n})")
+                continue
+            derived = deriver.derive(k.to_bytes(32, "big"))
+            remembered = REMEMBERED_ADDRESSES.get(n)
+            if remembered is not None and remembered != derived.p2pkh_compressed:
+                problems.append(
+                    f"b1000/{n}: derived {derived.p2pkh_compressed} != "
+                    f"remembered {remembered}")
+                continue
+            entry.update(address=derived.p2pkh_compressed, solved=True,
+                         pubkey=derived.pubkey_compressed, key_hex=key_hex,
+                         provenance="derived-from-key")
+        else:
+            remembered = REMEMBERED_ADDRESSES.get(n)
+            if remembered is not None:
+                if not _checksum_ok(remembered):
+                    problems.append(f"b1000/{n}: checksum FAIL {remembered}")
+                    continue
+                entry.update(address=remembered,
+                             provenance="remembered-checksummed")
+        puzzles.append(entry)
+    return puzzles, problems
+
+
+def build_other_collections():
+    """Non-b1000 collections (provider.rs:238-268).  Addresses only where
+    reproducible offline; structural entries otherwise."""
+    gsmg = [{
+        "id": 1, "bits": None,
+        "address": "1GSMG1JC9wtdSwfwApgj2xcmJPAwx7prBe",
+        "solved": False, "pubkey": None, "key_hex": None, "prize": 5.0,
+        "provenance": "remembered-checksummed",
+    }]
+    bitaps = [{
+        "id": 1, "bits": None, "address": None, "solved": False,
+        "pubkey": None, "key_hex": None, "prize": None,
+        "provenance": "unavailable-offline",
+    }]
+    # Peter Todd's script-level hash-collision bounties (P2SH): spendable by
+    # anyone presenting a collision for the named hash function.
+    hash_collision = [
+        {"id": "sha1", "bits": None,
+         "address": "37k7toV1Nv4DfmQbmZ8KuZDQCYK9x5KpzP",
+         "solved": True, "pubkey": None, "key_hex": None, "prize": None,
+         "provenance": "remembered-checksummed"},
+        {"id": "sha256", "bits": None,
+         "address": "35Snmmy3uhaer2gTboc81ayCip4m9DT4ko",
+         "solved": False, "pubkey": None, "key_hex": None, "prize": None,
+         "provenance": "remembered-checksummed"},
+        {"id": "ripemd160", "bits": None, "address": None, "solved": False,
+         "pubkey": None, "key_hex": None, "prize": None,
+         "provenance": "unavailable-offline"},
+        {"id": "hash256", "bits": None, "address": None, "solved": False,
+         "pubkey": None, "key_hex": None, "prize": None,
+         "provenance": "unavailable-offline"},
+        {"id": "hash160", "bits": None, "address": None, "solved": False,
+         "pubkey": None, "key_hex": None, "prize": None,
+         "provenance": "unavailable-offline"},
+    ]
+    zden = [
+        {"id": i, "bits": None, "address": None, "solved": False,
+         "pubkey": None, "key_hex": None, "prize": None,
+         "provenance": "unavailable-offline"}
+        for i in (1, 2, 3)
+    ]
+    bitimage = [
+        {"id": i, "bits": None, "address": None, "solved": False,
+         "pubkey": None, "key_hex": None, "prize": None,
+         "provenance": "unavailable-offline"}
+        for i in (1, 2)
+    ]
+    out = {"gsmg": gsmg, "bitaps": bitaps, "hash_collision": hash_collision,
+           "zden": zden, "bitimage": bitimage}
+    problems = []
+    for coll, entries in out.items():
+        for e in entries:
+            if e["address"] and e["address"][0] != "b" \
+                    and not _checksum_ok(e["address"]):
+                problems.append(f"{coll}/{e['id']}: checksum FAIL {e['address']}")
+                e["address"] = None
+                e["provenance"] = "unavailable-offline"
+    return out, problems
+
+
+def main():
+    deriver = KeyDeriver()
+    b1000, problems = build_b1000(deriver)
+    others, p2 = build_other_collections()
+    problems += p2
+    if problems:
+        for p in problems:
+            print("PROBLEM:", p, file=sys.stderr)
+        sys.exit(1)
+
+    data = {"b1000": b1000}
+    data.update(others)
+    out_path = os.path.join(os.path.dirname(__file__), "..",
+                            "vuke_tpu", "data", "puzzles.json")
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=1)
+        f.write("\n")
+
+    n_addr = sum(1 for ps in data.values() for p in ps if p["address"])
+    n_total = sum(len(ps) for ps in data.values())
+    n_solved = sum(1 for p in b1000 if p["solved"])
+    print(f"wrote {out_path}: {len(data)} collections, {n_total} puzzles, "
+          f"{n_addr} with addresses, b1000 solved={n_solved}")
+
+
+if __name__ == "__main__":
+    main()

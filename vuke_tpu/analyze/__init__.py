@@ -95,20 +95,24 @@ def run_analyze(key_str: str, fast: bool = False, mask: Optional[int] = None,
                       f"solved neighbors", file=sys.stderr)
 
     if cascade:
-        config.cascade_targets = parse_cascade(cascade)
+        # provider reference (boha:b1000:66[:n]) or literal bits:target list
+        # (main.rs:1371-1378 resolve_cascade)
+        targets = provider_mod.parse_cascade_ref(cascade)
+        config.cascade_targets = (targets if targets is not None
+                                  else parse_cascade(cascade))
 
     key = parse_private_key(key_str)
 
     if verify:
         parts = verify.split(":")
         coll = parts[1] if len(parts) > 1 else parts[0]
-        hit = provider_mod.verify_key(key, coll)
-        if hit is not None:
-            pz, kind = hit
-            print(f"Key matches puzzle #{pz.id} in {coll} via {kind}: {pz.address}",
-                  file=out)
-        else:
-            print(f"Key does not match any puzzle in {coll}", file=out)
+        report = provider_mod.verify_key(key, coll)
+        for m in report.matches:
+            print(f"Key matches puzzle #{m.puzzle.id} in {m.collection} via "
+                  f"{m.address_type}: {m.puzzle.address}", file=out)
+        if not report.matches:
+            print(f"Key does not match any puzzle in {coll} "
+                  f"({report.total_checked} checked)", file=out)
 
     if analyzers:
         selected = [analyzer_from_str(a, mnemonic, mnemonic_file, passphrase,
