@@ -2,22 +2,28 @@
 """Driver benchmark: fused seed->pubkey->hash160 derivation rate on TPU.
 
 Prints JSON lines {"metric", "value", "unit", "vs_baseline"} — a guaranteed
-early line from the cheap-to-compile XLA path, then (budget permitting) an
-upgraded line from the fused Pallas pipeline.  The LAST line printed is the
-best measured number.
+early line from the cheap-to-compile XLA path, then upgraded lines from the
+fused Pallas pipeline in BOTH digit-recoding modes (signed and zero-free
+odd), best-so-far emitted after every stage.  The LAST line printed is the
+best measured number.  Racing both tiled modes is deliberate: round 2
+shipped an unmeasured default that benched 11% below its own alternative —
+the driver must always capture the best kernel, not the default one.
 
 vs_baseline is measured against the BASELINE.json north-star target of
 100M derivations/sec on a v5p-8, scaled by peak-TFLOPs ratio to whatever
 chips are local.
 
-Stages run as subprocesses under hard timeouts (Mosaic compiles are
-minutes-long and not persistently cached on this backend; round-1's bench
-timed out in the driver window and shipped no number — never again).  This
-parent process deliberately never imports jax: the TPU is a single shared
-device and a parent holding it would deadlock the stage.
+Stages run as subprocesses under hard timeouts (Mosaic compiles through the
+remote-compile service vary from ~3 to ~15 minutes cold; round-1's bench
+timed out in the driver window and shipped no number — never again).  The
+persistent compile cache (vuke_tpu/_cache.py) makes warm stages take well
+under a minute, and tools/warm_bench_cache.sh pre-warms it.  This parent
+process deliberately never imports jax: the TPU is a single shared device
+and a parent holding it would deadlock the stage.
 
 Env knobs: VUKE_BENCH_BUDGET_S (total wall budget, default 1500),
-VUKE_BENCH_BATCH, VUKE_BENCH_SECONDS, VUKE_BENCH_STAGES (comma list).
+VUKE_BENCH_BATCH, VUKE_BENCH_SECONDS, VUKE_BENCH_STAGES (comma list; known
+stages: xla, pallas, tiled, tiled_signed, tiled_odd).
 """
 
 import json
@@ -36,6 +42,11 @@ _PEAK_TFLOPS = {
     "v5p": 459.0, "v5": 459.0, "v6e": 918.0, "v6 lite": 918.0,
 }
 _V5P8_PEAK = 4 * 459.0  # v5p-8 = 4 dual-core chips
+
+# wall-clock caps per stage kind: the xla stage is the guaranteed first
+# line and must never eat the tiled stages' budget (cold it measured 137s;
+# warm ~35s); tiled stages get whatever remains.
+_XLA_CAP_S = 420.0
 
 
 def _peak_tflops(device_kind: str, n_devices: int) -> float:
@@ -88,20 +99,20 @@ def _emit(result):
 def main():
     budget = float(os.environ.get("VUKE_BENCH_BUDGET_S", 1500.0))
     t0 = time.time()
-    stages = os.environ.get("VUKE_BENCH_STAGES", "xla,tiled").split(",")
+    stages = [s.strip() for s in
+              os.environ.get("VUKE_BENCH_STAGES",
+                             "xla,tiled_signed,tiled_odd").split(",")
+              if s.strip()]
 
     best = None
     tiled_ok = False
-    for i, mode in enumerate(s.strip() for s in stages if s.strip()):
-        elapsed = time.time() - t0
-        remaining = budget - elapsed - 30.0
+    for mode in stages:
+        remaining = budget - (time.time() - t0) - 30.0
         if best is not None and remaining < 240.0:
             print(f"[bench] skipping '{mode}': {remaining:.0f}s left",
                   file=sys.stderr, flush=True)
-            break
-        # first stage gets a capped slice so a pathological compile can't
-        # eat the whole window before any number is printed
-        timeout_s = min(remaining, 700.0) if best is None and i == 0 else remaining
+            continue
+        timeout_s = min(remaining, _XLA_CAP_S) if mode == "xla" else remaining
         r = _run_stage(mode, max(timeout_s, 120.0))
         if r is None:
             continue
@@ -111,9 +122,11 @@ def main():
             best = r
             _emit(best)
 
-    # insurance: if the tiled stage produced nothing (e.g. a lowering
-    # failure in the newest kernel), retry on the proven signed-digit path
-    if not tiled_ok and "tiled" in stages:
+    # insurance: if no tiled stage produced a number (e.g. every compile
+    # blew its window), retry the proven signed-digit path once — partial
+    # programs from the killed attempt are already in the persistent cache,
+    # so the retry compiles much faster
+    if not tiled_ok and any(s.startswith("tiled") for s in stages):
         remaining = budget - (time.time() - t0) - 30.0
         if remaining > 240.0:
             r = _run_stage("tiled_signed", remaining)

@@ -26,13 +26,16 @@ def main():
         # Pallas kernels for keygen/smul/hash, standard layout pipeline
         os.environ["VUKE_BENCH_TILED"] = "0"
     elif mode == "tiled":
+        # library-default digit recoding
         os.environ["VUKE_BENCH_TILED"] = "1"
     elif mode == "tiled_signed":
-        # insurance stage: the tiled pipeline on the round-2-proven
-        # signed-digit kernel, in case the newer odd-digit default hits a
-        # lowering issue on the driver's hardware
+        # the round-2-measured 10.44M/s signed-digit kernel
         os.environ["VUKE_BENCH_TILED"] = "1"
         os.environ["VUKE_TPU_DIGITS"] = "signed"
+    elif mode == "tiled_odd":
+        # zero-free odd-digit windows + high-first reduce
+        os.environ["VUKE_BENCH_TILED"] = "1"
+        os.environ["VUKE_TPU_DIGITS"] = "odd"
 
     t0 = time.time()
     print(f"[stage {mode}] importing jax...", file=sys.stderr, flush=True)
