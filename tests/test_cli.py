@@ -148,3 +148,16 @@ def test_host_digest_matches_device_path(monkeypatch):
         dev = strings.batched_digest(datas, algo)
         assert dev.dtype == np.uint32
         np.testing.assert_array_equal(np.asarray(h, dtype=np.uint32), dev)
+
+
+def test_bench_transform_electrum():
+    """bench_transform must measure string-only transforms over decimal
+    inputs (benchmark.rs feeds every transform through apply_batch) — the
+    round-2 string-bench path had no unit test."""
+    from vuke_tpu.benchmark import bench_transform
+
+    r = bench_transform("electrum", batch=2, warmup_s=0.0, measure_s=0.01)
+    assert r["transform"] == "electrum"
+    assert r["inputs_per_sec"] > 0
+    assert r["keys_per_sec"] == r["inputs_per_sec"] * 20  # 20 derivations/seed
+    assert r["batch"] == 2

@@ -161,6 +161,22 @@ def test_mt64_key_bytes(seed):
     assert key == oracles.MT19937_64(seed).fill_bytes(32)
 
 
+def test_mt64_deterministic():
+    # mt64.rs test_deterministic: same seed twice -> same key
+    hi = np.array([0], dtype=np.uint32)
+    lo = np.array([12345], dtype=np.uint32)
+    a = np.asarray(mt19937.mt64_key_words(hi, lo))
+    b = np.asarray(mt19937.mt64_key_words(hi, lo))
+    assert (a == b).all()
+
+
+def test_mt64_zero_seed():
+    # mt64.rs test_zero_seed: seed 0 still yields a non-zero key
+    z = np.array([0], dtype=np.uint32)
+    words = np.asarray(mt19937.mt64_key_words(z, z))[0]
+    assert common.key_words_to_bytes(words) != b"\0" * 32
+
+
 # ---------------------------------------------------------------------------
 # LCG
 # ---------------------------------------------------------------------------

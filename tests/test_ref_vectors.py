@@ -196,6 +196,64 @@ class TestQueryFormat:
         out = format_results([(b"\xde\xad",)], ["k"], "table")
         assert "dead" in out
 
+    def test_output_format_from_str(self):
+        # query_format.rs:269-284: case-insensitive, unknown rejected
+        from vuke_tpu.storage.query import parse_output_format
+        for s in ("table", "TABLE", "json", "JSON", "csv", "CSV"):
+            assert parse_output_format(s) == s.lower()
+        with pytest.raises(ValueError, match="Unknown format"):
+            parse_output_format("xml")
+
+    def test_escape_json_string_special_chars(self):
+        # query_format.rs:358-366: quote/backslash/newline/tab escaped
+        out = format_results([('"\\\n\t',)], ["text"], "json")
+        assert '\\"' in out and "\\\\" in out and "\\n" in out and "\\t" in out
+        assert json.loads(out)[0]["text"] == '"\\\n\t'
+
+    def test_escape_csv_field_variants(self):
+        # query_format.rs:367-381: plain passthrough, comma and quote quoting
+        assert "hello" in format_results([("hello",)], ["t"], "csv")
+        assert '"a,b"' in format_results([("a,b",)], ["t"], "csv")
+        assert '"say ""hi"""' in format_results([('say "hi"',)], ["t"], "csv")
+
+    def test_format_value_json_types(self):
+        # query_format.rs:382-396 + 127-145: null/int/string/binary and
+        # non-finite floats -> null
+        out = json.loads(format_results(
+            [(None, 42, 100, "test", b"\xde\xad", float("nan"), float("inf"))],
+            ["n", "i", "u", "s", "b", "nan", "inf"], "json"))
+        assert out == [{"n": None, "i": 42, "u": 100, "s": "test",
+                        "b": "dead", "nan": None, "inf": None}]
+
+    def test_format_value_json_timestamp_rfc3339(self):
+        # query_format.rs:397-405: timestamps render as quoted RFC3339
+        import datetime
+        ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+        out = format_results([(ts,)], ["ts"], "json")
+        v = json.loads(out)[0]["ts"]
+        assert isinstance(v, str) and v.startswith("2024-01-01")
+        # naive timestamps (no tz) are still quoted strings (rs:406-413)
+        naive = json.loads(format_results(
+            [(datetime.datetime(2024, 1, 1),)], ["ts"], "json"))[0]["ts"]
+        assert isinstance(naive, str)
+
+    def test_format_table_truncation(self):
+        # query_format.rs:414-421: long cells truncated with "..."
+        long_cell = "\U0001F511" * 50 + "x" * 60
+        out = format_results([(long_cell,)], ["key"], "table")
+        assert "\U0001F511" in out
+        assert "..." in out
+
+    def test_format_schema_displays_columns(self):
+        # query_format.rs:423-443 shape over the real 19-column schema
+        from vuke_tpu.storage.query import format_schema
+        from vuke_tpu.storage.records import result_schema
+        out = format_schema(result_schema())
+        assert "Schema: results (19 columns)" in out
+        for s in ("Column", "Type", "Nullable", "Yes", "No",
+                  "source", "transform", "private_key_raw"):
+            assert s in out
+
 
 # ---------------------------------------------------------------------------
 # lcg.rs inline vectors (mod tests + mod parse_tests, 18 vectors)
@@ -476,6 +534,12 @@ class TestSha256ChainVectors:
 
     def test_generate_key_iterated_deterministic(self):
         assert _chain_keys(77, "iterated", 1) == _chain_keys(77, "iterated", 1)
+
+    def test_zero_depth_chain(self):
+        # sha256_chain.rs test_zero_depth_chain: depth 0 emits nothing
+        from vuke_tpu.transforms.strings import make_string_sha256_chain
+        t = make_string_sha256_chain("iterated", 0)
+        assert t.fn(["seed"]).shape == (1, 0, 8)
 
     def test_generate_key_iterated_chain(self):
         seed = (12345).to_bytes(4, "big")

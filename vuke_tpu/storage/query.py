@@ -116,31 +116,63 @@ class QueryExecutor:
 
     def schema_text(self) -> str:
         from .records import result_schema
-        lines = ["Table: results", "Columns:"]
-        for f in result_schema():
-            nullable = "NULL" if f.nullable else "NOT NULL"
-            lines.append(f"  {f.name}: {f.type} {nullable}")
-        lines.append("Partitions: transform (identity), date (identity)")
-        lines.append(f"Files: {len(self._files)}")
-        return "\n".join(lines)
+        return (format_schema(result_schema())
+                + "\nPartitions: transform (identity), date (identity)"
+                + f"\nFiles: {len(self._files)}")
+
+
+OUTPUT_FORMATS = ("table", "json", "csv")
+
+# table cells longer than this are truncated with "..." — the reference's
+# comfy-table dynamic arrangement does the same against the terminal width
+# (query_format.rs:415-421 asserts truncation of a 50-emoji cell)
+_TABLE_CELL_MAX = 60
+
+
+def parse_output_format(s: str) -> str:
+    """Case-insensitive table|json|csv (query_format.rs:19-29)."""
+    fmt = s.lower()
+    if fmt not in OUTPUT_FORMATS:
+        raise ValueError(
+            f"Unknown format '{s}'. Valid formats: table, json, csv")
+    return fmt
+
+
+def _rfc3339(v: _dt.datetime) -> str:
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=_dt.timezone.utc)
+    return v.isoformat()
 
 
 def _fmt_value(v) -> str:
+    """CSV/table cell rendering (query_format.rs:203-215): None -> empty,
+    binary -> hex, timestamps -> RFC3339."""
     if v is None:
         return ""
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    if isinstance(v, _dt.datetime):
+        return _rfc3339(v)
     return str(v)
+
+
+def _json_value(v):
+    """JSON value conversion (query_format.rs:127-145): binary -> hex
+    string, timestamps -> quoted RFC3339, non-finite floats -> null."""
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, _dt.datetime):
+        return _rfc3339(v)
+    if isinstance(v, float) and not (v == v and abs(v) != float("inf")):
+        return None
+    return v
 
 
 def format_results(rows: Sequence[tuple], columns: Sequence[str], fmt: str) -> str:
     """table / json / csv formatting (output/query_format.rs:11-225)."""
+    fmt = parse_output_format(fmt)
     if fmt == "json":
-        def conv(v):
-            if isinstance(v, (bytes, bytearray)):
-                return v.hex()
-            return v
-        out = [dict(zip(columns, [conv(v) for v in row])) for row in rows]
+        out = [dict(zip(columns, [_json_value(v) for v in row])) for row in rows]
         return json.dumps(out, indent=2, default=str)
     if fmt == "csv":
         import io
@@ -156,8 +188,15 @@ def format_results(rows: Sequence[tuple], columns: Sequence[str], fmt: str) -> s
     # table
     if not columns:
         return "(no results)"
+
+    def cell(v) -> str:
+        s = _fmt_value(v)
+        if len(s) > _TABLE_CELL_MAX:
+            s = s[:_TABLE_CELL_MAX] + "..."
+        return s
+
     widths = [len(c) for c in columns]
-    srows = [[_fmt_value(v) for v in row] for row in rows]
+    srows = [[cell(v) for v in row] for row in rows]
     for row in srows:
         for i, v in enumerate(row):
             widths[i] = max(widths[i], len(v))
@@ -170,3 +209,15 @@ def format_results(rows: Sequence[tuple], columns: Sequence[str], fmt: str) -> s
     out.append(sep)
     out.append(f"{len(rows)} row(s)")
     return "\n".join(out)
+
+
+def format_schema(fields) -> str:
+    """Schema display (query_format.rs:225-262): header + Column / Type /
+    Nullable table.  ``fields`` is any iterable of objects with .name,
+    .type and .nullable (pyarrow fields or records.Field)."""
+    fields = list(fields)
+    rows = [(f.name, str(f.type), "Yes" if f.nullable else "No")
+            for f in fields]
+    body = format_results(rows, ["Column", "Type", "Nullable"], "table")
+    body = body.rsplit("\n", 1)[0]  # drop the "N row(s)" footer
+    return f"Schema: results ({len(fields)} columns)\n{body}"

@@ -161,6 +161,8 @@ def make_string_sha256_chain(variant: str | None, depth: int) -> StringTransform
 
     def fn(strings: Sequence[str]) -> np.ndarray:
         datas = [s.encode() for s in strings]
+        if depth <= 0:   # zero-depth chains are empty (sha256_chain.rs:88-97)
+            return np.zeros((len(datas), 0, 8), dtype=np.uint32)
         cols = []
         for v in variants:
             if v == "iterated":
