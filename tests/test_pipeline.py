@@ -217,3 +217,40 @@ def test_process_blob_applies_each_string_transform_once(deriver):
     assert stats.keys_generated == n_slots
     assert len(out.keys) == n_slots
     assert len(set(out.keys)) == n_slots
+
+
+def test_wordlist_scan_reports_progress(tmp_path):
+    """Wordlist/stdin scans must render progress (reference: indicatif bars
+    in every source, source/wordlist.rs + lib.rs:32-37) — round 2 only
+    wired Progress into ranged forward runs."""
+    import io
+
+    from vuke_tpu.pipeline import StringDriver
+    from vuke_tpu.progress import Progress
+    from vuke_tpu.sources import WordlistSource
+    from vuke_tpu.transforms.registry import parse_transform
+
+    class NullOutput:
+        def key(self, *a):
+            pass
+
+        def hit(self, *a):
+            pass
+
+        def flush(self):
+            pass
+
+    words = tmp_path / "w.txt"
+    words.write_text("\n".join(f"word{i}" for i in range(50)) + "\n")
+    buf = io.StringIO()
+    progress = Progress(total=None, label="scan", stream=buf,
+                        min_interval=0.0, enabled=True)
+    # empty target set: the scan path is exercised without a device program
+    sd = StringDriver([parse_transform("direct")], Matcher([]), NullOutput(),
+                      progress=progress)
+    stats = WordlistSource(str(words)).process(None, sd)
+    progress.finish()
+    assert stats.inputs_processed == 50
+    assert progress.pos == 50
+    out = buf.getvalue()
+    assert "scan 50" in out and "/s" in out

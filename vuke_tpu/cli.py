@@ -260,16 +260,20 @@ def _run_forward(params, source, matcher):
                    err=True)
         source = dataclasses.replace(source, start=shard.start, end=shard.end)
 
-    progress = None
+    label = "scan" if matcher else "generate"
     if ranged:
         total = source.end - source.start + 1
         if getattr(source, "microseconds", False):
             total += (source.end + 1) * 1000 - source.start * 1000
-        progress = Progress(total=total, label="scan" if matcher else "generate")
+        progress = Progress(total=total, label=label)
+    else:
+        # wordlist/stdin/files: input count unknown upfront — position+rate
+        # bar, matching the reference's per-source indicatif spinners
+        progress = Progress(total=None, label=label)
 
     fwd = ForwardDriver(specs, matcher, out, deriver,
                         batch=params.get("batch", 1 << 16), progress=progress)
-    sd = StringDriver(specs, matcher, out, deriver)
+    sd = StringDriver(specs, matcher, out, deriver, progress=progress)
 
     ckpt = None
     if params.get("checkpoint_path") and ranged:

@@ -400,7 +400,8 @@ class StringDriver:
     PAD = 1024  # fixed device width for the shared string derive program
 
     def __init__(self, specs: Sequence[TransformSpec], matcher: Optional[Matcher],
-                 output, deriver: Optional[KeyDeriver] = None, inv_chunk: int = 32):
+                 output, deriver: Optional[KeyDeriver] = None, inv_chunk: int = 32,
+                 progress=None):
         self.specs = list(specs)
         self.matcher = matcher
         self.output = output
@@ -408,6 +409,9 @@ class StringDriver:
         self.inv_chunk = inv_chunk
         self.targets = DeviceTargetSet(matcher.targets) if matcher else None
         self._dm = None
+        # progress over *inputs* (words/lines/files) — the reference renders
+        # an indicatif bar in every source (source/wordlist.rs, lib.rs:32-37)
+        self.progress = progress
 
     def _device_match(self, keys_flat: np.ndarray) -> np.ndarray:
         """(M, 8) keys -> candidate mask, via fixed-width padded chunks."""
@@ -432,10 +436,16 @@ class StringDriver:
         subset, so each transform is applied exactly once per file
         (/root/reference/src/source/files.rs:106-111)."""
         stats = ProcessStats()
+        if self.progress is not None:
+            self.progress.advance(1)
         non_blob = [s for s in self.specs
                     if s.string is not None and getattr(s.string, "blob_fn", None) is None]
         if non_blob:
-            stats.merge(self.process_batch([label], specs=non_blob))
+            prog, self.progress = self.progress, None  # advanced above already
+            try:
+                stats.merge(self.process_batch([label], specs=non_blob))
+            finally:
+                self.progress = prog
             stats.inputs_processed = 0  # counted once by the caller per file
         for spec in self.specs:
             st = spec.string
@@ -467,6 +477,8 @@ class StringDriver:
         stats = ProcessStats(inputs_processed=len(strings))
         if not strings:
             return stats
+        if self.progress is not None:
+            self.progress.advance(len(strings))
         for spec in (self.specs if specs is None else specs):
             st = spec.string
             if st is None:

@@ -43,15 +43,21 @@ def _run_string_specs_over_range(string_driver, start: int, end: int,
     specs = _string_only_specs(string_driver)
     if not specs:
         return stats
-    pos = start
-    while pos <= end:
-        hi = min(pos + STRING_BATCH - 1, end)
-        st = string_driver.process_batch([str(v) for v in range(pos, hi + 1)],
-                                         specs=specs)
-        if counted:   # numeric driver already counted these inputs
-            st.inputs_processed = 0
-        stats.merge(st)
-        pos = hi + 1
+    prog = getattr(string_driver, "progress", None)
+    if counted and prog is not None:
+        string_driver.progress = None   # numeric driver already advanced
+    try:
+        pos = start
+        while pos <= end:
+            hi = min(pos + STRING_BATCH - 1, end)
+            st = string_driver.process_batch(
+                [str(v) for v in range(pos, hi + 1)], specs=specs)
+            if counted:   # numeric driver already counted these inputs
+                st.inputs_processed = 0
+            stats.merge(st)
+            pos = hi + 1
+    finally:
+        string_driver.progress = prog
     return stats
 
 
