@@ -53,10 +53,21 @@ def pytest_configure(config):
         "markers", "slow: long-running even on TPU (full sweeps, big compiles)")
 
 
+def _mosaic_capable() -> bool:
+    """True when the default backend can lower Pallas kernels."""
+    if _CPU:
+        return False
+    import jax
+
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
 def pytest_collection_modifyitems(config, items):
-    if not _CPU:
+    if not any("tpu_only" in item.keywords for item in items):
         return
-    skip = pytest.mark.skip(reason="tpu_only test on VUKE_TEST_PLATFORM=cpu")
+    if _mosaic_capable():
+        return
+    skip = pytest.mark.skip(reason="tpu_only: no Mosaic-capable backend")
     for item in items:
         if "tpu_only" in item.keywords:
             item.add_marker(skip)

@@ -227,3 +227,22 @@ def test_sweep_program_falls_back_on_kernel_failure():
     import jax.numpy as jnp
     r = sweep(prog, 0, 2048, target_words=jnp.asarray(key_words))
     assert r.found and r.seed == seed
+
+
+def test_analyze_verify_reports_matches():
+    """--verify checks a key against a whole collection and reports every
+    match with its type (provider.rs:398-476; main.rs run_analyze)."""
+    import io
+
+    from vuke_tpu.analyze import run_analyze
+
+    buf = io.StringIO()
+    run_analyze("0x1", fast=True, verify="boha:b1000", out=buf)
+    text = buf.getvalue()
+    assert "matches puzzle #1 in b1000" in text
+    assert "p2pkh_compressed" in text
+
+    buf = io.StringIO()
+    run_analyze("0x" + "ef" * 32, fast=True, verify="boha:b1000", out=buf)
+    assert "does not match any puzzle" in buf.getvalue()
+    assert "256 checked" in buf.getvalue()

@@ -18,9 +18,7 @@ from vuke_tpu.ecc import ref
 from vuke_tpu.ecc.pubkey import (derive_hash160s, derive_pubkey,
                                  normalize_scalar)
 
-pytestmark = pytest.mark.skipif(
-    jax.devices()[0].platform not in ("tpu", "axon"),
-    reason="Pallas kernels need a Mosaic backend")
+pytestmark = pytest.mark.tpu_only  # conftest skips these off-TPU
 
 
 def _scalar_words(ks):
