@@ -246,3 +246,57 @@ def test_analyze_verify_reports_matches():
     run_analyze("0x" + "ef" * 32, fast=True, verify="boha:b1000", out=buf)
     assert "does not match any puzzle" in buf.getvalue()
     assert "256 checked" in buf.getvalue()
+
+
+# --- analyzer registry / metadata parity (analyze/mod.rs:91-255 test mod,
+# analyze/sha256_chain.rs test_analyzer_name/test_supports_mask/
+# test_is_brute_force/test_with_variant/test_with_chain_depth) -------------
+
+def test_analyzer_names_and_flags():
+    from vuke_tpu.analyze import all_analyzers, fast_analyzers
+    meta = {a.name: (a.supports_mask, a.is_brute_force)
+            for a in all_analyzers()}
+    assert set(meta) == {"milksad", "mt64", "lcg", "xorshift",
+                         "sha256_chain", "direct", "heuristic"}
+    for brute in ("milksad", "mt64", "lcg", "xorshift", "sha256_chain"):
+        assert meta[brute] == (True, True), brute
+    for fast in ("direct", "heuristic"):
+        assert meta[fast] == (False, False), fast
+    assert [a.name for a in fast_analyzers()] == ["direct", "heuristic"]
+
+
+def test_analyzer_from_str_variants():
+    from vuke_tpu.analyze import analyzer_from_str
+    # case-insensitive (mod.rs:219-221)
+    assert analyzer_from_str("MILKSAD").name == "milksad"
+    assert analyzer_from_str("multibit-hd").name == "multibit-hd"
+    assert analyzer_from_str("multibit").name == "multibit-hd"
+    a = analyzer_from_str("lcg:glibc")
+    assert [v.name for v in a.variants] == ["glibc"]
+    a = analyzer_from_str("lcg")
+    assert len(a.variants) == 4
+    a = analyzer_from_str("xorshift:xoroshiro")
+    assert a.variants == ["xoroshiro128**"]   # canonical variant name
+    a = analyzer_from_str("sha256_chain:counter", chain_depth=7)
+    assert a.variants == ["counter"]
+    assert a.chain_depth == 7
+    with pytest.raises(ValueError, match="Unknown analyzer"):
+        analyzer_from_str("notathing")
+
+
+def test_direct_heuristic_masked_is_unknown():
+    # direct.rs/heuristic.rs: mask => Unknown (SURVEY §2.4)
+    key = (42).to_bytes(32, "big")
+    for a in (DirectAnalyzer(), HeuristicAnalyzer()):
+        r = a.analyze(key, AnalysisConfig(mask_bits=16))
+        assert r.status == AnalysisStatus.UNKNOWN
+
+
+def test_direct_padding_detection():
+    # direct.rs:11-64: >=24 leading/trailing zero bytes flagged as padding
+    r = DirectAnalyzer().analyze(b"\0" * 28 + b"\xaa\xbb\xcc\xdd",
+                                 AnalysisConfig())
+    assert r.status == AnalysisStatus.POSSIBLE and "BE padding" in r.details
+    r = DirectAnalyzer().analyze(b"\xaa\xbb\xcc\xdd" + b"\0" * 28,
+                                 AnalysisConfig())
+    assert r.status == AnalysisStatus.POSSIBLE and "LE padding" in r.details

@@ -33,9 +33,14 @@ PER_DEVICE_BATCH = 1 << 12
 
 
 def _child(n_dev: int):
+    # pinned ISA: without it the persistent-cache entries embed tuning
+    # pseudo-features and silently recompile (see tests/conftest.py)
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={n_dev}")
+        + f" --xla_force_host_platform_device_count={n_dev}"
+        + " --xla_cpu_max_isa=AVX2")
+    from vuke_tpu._cache import enable_compile_cache
+    enable_compile_cache()
     import jax
     jax.config.update("jax_platforms", "cpu")
     from vuke_tpu.benchmark import bench_derive
