@@ -173,7 +173,12 @@ def scalar_mul_base(digits):
         acc_inf = acc_inf & d_zero
         return (X, Y, Z, acc_inf), None
 
-    (X, Y, Z, _), _ = jax.lax.scan(body, (X, Y, Z, acc_inf), (table, digits_t), unroll=4)
+    # unroll amortizes scan overhead on TPU; on CPU it quadruples the LLVM
+    # compile of the already-huge point-add body for no runtime benefit
+    # (the fast test tier's wall clock is XLA:CPU compiles)
+    unroll = 4 if jax.devices()[0].platform != "cpu" else 1
+    (X, Y, Z, _), _ = jax.lax.scan(body, (X, Y, Z, acc_inf), (table, digits_t),
+                                   unroll=unroll)
     return X, Y, Z
 
 
