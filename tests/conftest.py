@@ -31,6 +31,10 @@ enable_compile_cache()
 
 _CPU = os.environ.get("VUKE_TEST_PLATFORM", "") == "cpu"
 if _CPU:
+    # string drivers pad to the numeric drivers' test batch so both share
+    # every expensive ECC compilation (XLA:CPU compiles are the tier's
+    # wall clock; see pipeline.StringDriver)
+    os.environ.setdefault("VUKE_STRING_PAD", "512")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -40,6 +44,12 @@ if _CPU:
         # feature check, so the persistent cache silently recompiled every
         # big program (~80-190s each, the whole fast tier >50 min)
         flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+    if "xla_backend_optimization_level" not in flags:
+        # -O1 codegen: LLVM -O3 hits a pathological pattern on PRNG-chain +
+        # reduce fusions (minstd LCG sweep step alone compiled >6 min,
+        # "Very slow compile" alarm; test_analyze/test_pipeline >20 min).
+        # Tests want compile speed, not peak CPU codegen.
+        flags = (flags + " --xla_backend_optimization_level=1").strip()
     os.environ["XLA_FLAGS"] = flags
     import jax
 

@@ -38,7 +38,11 @@ def _child(n_dev: int):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_dev}"
-        + " --xla_cpu_max_isa=AVX2")
+        + " --xla_cpu_max_isa=AVX2"
+        # -O1 codegen: LLVM -O3 pathologically slow on PRNG+reduce fusions
+        # (see tests/conftest.py); rates here validate structure, not
+        # hardware peak, so compile speed wins
+        + " --xla_backend_optimization_level=1")
     from vuke_tpu._cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -79,12 +83,22 @@ def main():
 
     if not results:
         sys.exit(1)
-    base = results[0]["derivations_per_sec"] / results[0]["devices"]
-    print(f"{'devices':>8} {'batch':>10} {'Mderiv/s':>10} {'weak-eff':>9}")
-    for r in results:
-        eff = r["derivations_per_sec"] / (base * r["devices"])
-        print(f"{r['devices']:>8} {r['batch']:>10} "
-              f"{r['derivations_per_sec'] / 1e6:>10.3f} {eff:>8.1%}")
+    if cpu:
+        # k virtual devices share the same host cores: ideal weak scaling
+        # is FLAT total throughput, so report totals vs the 1-device total
+        base = results[0]["derivations_per_sec"]
+        print(f"{'devices':>8} {'batch':>10} {'deriv/s':>10} {'vs 1-dev total':>15}")
+        for r in results:
+            print(f"{r['devices']:>8} {r['batch']:>10} "
+                  f"{r['derivations_per_sec']:>10.0f} "
+                  f"{r['derivations_per_sec'] / base:>14.2f}x")
+    else:
+        base = results[0]["derivations_per_sec"] / results[0]["devices"]
+        print(f"{'devices':>8} {'batch':>10} {'Mderiv/s':>10} {'weak-eff':>9}")
+        for r in results:
+            eff = r["derivations_per_sec"] / (base * r["devices"])
+            print(f"{r['devices']:>8} {r['batch']:>10} "
+                  f"{r['derivations_per_sec'] / 1e6:>10.3f} {eff:>8.1%}")
     print(json.dumps({"metric": "derive_weak_scaling",
                       "results": [
                           {"devices": r["devices"],

@@ -14,7 +14,7 @@ import time
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "xla"
-    batch = int(os.environ.get("VUKE_BENCH_BATCH", 1 << 18))
+    batch = int(os.environ.get("VUKE_BENCH_BATCH", 1 << 19))
     measure_s = float(os.environ.get("VUKE_BENCH_SECONDS", 10.0))
     from vuke_tpu._cache import enable_compile_cache
 

@@ -187,3 +187,12 @@ def key_bytes_to_words(key: bytes) -> np.ndarray:
 
 def key_words_to_hex(words) -> str:
     return "".join(f"{int(w):08x}" for w in np.asarray(words).reshape(8))
+
+
+def loop_unroll(tpu_unroll: int) -> int:
+    """Loop-unroll factor for the current backend: ``tpu_unroll`` on
+    accelerators (amortizes per-step scan overhead), 1 on XLA:CPU — the
+    fast test tier's wall clock is LLVM compiling the unrolled bodies,
+    and hot-loop runtime on CPU is irrelevant there."""
+    import jax
+    return 1 if jax.devices()[0].platform == "cpu" else tpu_unroll

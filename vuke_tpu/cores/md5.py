@@ -15,7 +15,7 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
-from .common import rotl32, u32
+from .common import loop_unroll, rotl32, u32
 
 _K = np.array([int(abs(math.sin(i + 1)) * 2**32) & 0xFFFFFFFF for i in range(64)],
               dtype=np.uint32)
@@ -59,7 +59,7 @@ def compress(state, m, unroll: bool = False):
 
     vzero = m[0] * np.uint32(0)                 # varying-safe zero
     A, B, C, D = jax.lax.fori_loop(0, 64, round_fn,
-                                   tuple(x + vzero for x in state), unroll=16)
+                                   tuple(x + vzero for x in state), unroll=loop_unroll(16))
     a, b, c, d = state
     return (a + A, b + B, c + C, d + D)
 

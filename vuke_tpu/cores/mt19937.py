@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from .common import (
-    byteswap32, u32, u64_add_const, u64_mul_const_lo, u64_shr, u64_xor,
-    u64_and, u64_or, u64_const,
+    byteswap32, loop_unroll, u32, u64_add_const, u64_mul_const_lo, u64_shr,
+    u64_xor, u64_and, u64_or, u64_const,
 )
 
 _F32 = np.uint32(1812433253)
@@ -48,7 +48,7 @@ def mt19937_outputs(seeds, n_out: int = 8):
 
     n_init = min(n_state, 624)
     idx = jnp.arange(1, n_init, dtype=jnp.uint32)
-    _, rest = jax.lax.scan(init_step, seeds, idx, unroll=64)
+    _, rest = jax.lax.scan(init_step, seeds, idx, unroll=loop_unroll(64))
     # state: list of (N,) arrays holding the true MT sequence s[k]
     state = [seeds] + [rest[i] for i in range(n_init - 1)]
     # Raw init-recurrence values are only the sequence for k < 624; beyond
@@ -124,7 +124,7 @@ def mt19937_64_outputs(seeds_hi, seeds_lo, n_out: int = 4):
 
     n_init = min(n_state, 312)
     idx = jnp.arange(1, n_init, dtype=jnp.uint32)
-    _, rest = jax.lax.scan(init_step, (seeds_hi, seeds_lo), idx, unroll=32)
+    _, rest = jax.lax.scan(init_step, (seeds_hi, seeds_lo), idx, unroll=loop_unroll(32))
     state = [(seeds_hi, seeds_lo)] + [(rest[0][i], rest[1][i]) for i in range(n_init - 1)]
     # True twist past the 312-word init block (outputs beyond index 155 —
     # mt64 cascades with >38 targets): s[k] = s[k-156] ^ twistbits(

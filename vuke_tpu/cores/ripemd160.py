@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .common import rotl32, u32
+from .common import loop_unroll, rotl32, u32
 
 _IV = np.array([0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476, 0xC3D2E1F0],
                dtype=np.uint32)
@@ -116,7 +116,7 @@ def compress(state, m, unroll: bool = False):
 
     init = (h0, h1, h2, h3, h4, h0, h1, h2, h3, h4)
     al, bl, cl, dl, el, ar, br, cr, dr, er = jax.lax.fori_loop(0, 80, round_fn,
-                                                               init, unroll=16)
+                                                               init, unroll=loop_unroll(16))
     t = h1 + cl + dr
     h1 = h2 + dl + er
     h2 = h3 + el + ar

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .common import rotr32, u32
+from .common import loop_unroll, rotr32, u32
 
 _K = np.array([
     0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
@@ -83,7 +83,7 @@ def compress(state, w16, unroll: bool = False):
 
     init = tuple(state) + (W0,)
     a, b, c, d, e, f, g, h, _ = jax.lax.fori_loop(0, 64, round_fn, init,
-                                                  unroll=16)
+                                                  unroll=loop_unroll(16))
     return (a + state[0], b + state[1], c + state[2], d + state[3],
             e + state[4], f + state[5], g + state[6], h + state[7])
 

@@ -110,28 +110,39 @@ class DeviceTargetSet:
         self._comp = self._pack(comp_frags)
         self._uncomp = self._pack(uncomp_frags)
 
+    # pools pad up to at least this many entries: every target set below it
+    # shares ONE compiled match program (pool shape is part of the jit
+    # signature; a 512-entry binary search costs nothing at runtime, while
+    # an extra XLA:CPU compile of the derive program costs ~1-6 min)
+    MIN_POOL = 512
+
     @staticmethod
     def _pack(frags):
-        """Sorted pools padded to a power-of-two length so the compiled
-        match program's shapes (hence the compilation cache) are stable
-        across target sets.  Empty pools become an all-0xFF dummy — device
-        false positives are filtered by the host string confirm anyway."""
+        """Sorted pools padded to a power-of-two length (>= MIN_POOL) so the
+        compiled match program's shapes (hence the compilation cache) are
+        stable across target sets.  Empty pools become an all-0xFF dummy —
+        device false positives are filtered by the host string confirm
+        anyway."""
         if not frags:
-            hi = np.full(4, 0xFFFFFFFF, dtype=np.uint32)
-            lo = np.full(4, 0xFFFFFFFF, dtype=np.uint32)
+            hi = np.full(DeviceTargetSet.MIN_POOL, 0xFFFFFFFF, dtype=np.uint32)
+            lo = np.full(DeviceTargetSet.MIN_POOL, 0xFFFFFFFF, dtype=np.uint32)
             return {"hi": jnp.asarray(hi), "lo": jnp.asarray(lo), "window": 4,
-                    "n": 4, "real": 0}
+                    "n": DeviceTargetSet.MIN_POOL, "real": 0}
         frags = sorted(set(frags))
         n = len(frags)
-        padded = 4
+        padded = DeviceTargetSet.MIN_POOL
         while padded < n:
             padded *= 2
         hi = np.array([f[0] for f in frags] + [frags[-1][0]] * (padded - n),
                       dtype=np.uint32)
         lo = np.array([f[1] for f in frags] + [frags[-1][1]] * (padded - n),
                       dtype=np.uint32)
+        # window = longest hi-collision run among REAL entries only.  The
+        # padding duplicates the last (hi, lo) pair exactly, so a probe for
+        # that key already hits at its first (real) occurrence — counting
+        # the padding run would unroll the lookup loop hundreds of times.
         run = best = 1
-        for i in range(1, padded):
+        for i in range(1, n):
             run = run + 1 if hi[i] == hi[i - 1] else 1
             best = max(best, run)
         return {

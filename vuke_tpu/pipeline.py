@@ -366,38 +366,19 @@ def _fast_emitter(output, deriver):
                                                       deriver.derive(key))
 
 
-@functools.lru_cache(maxsize=None)
-def _string_generate_program(inv_chunk: int):
-    """Device derive for string-source *generate* mode: normalized keys +
-    compressed hash160s, so addresses come from the native batch encoder
-    instead of per-key host EC (wordlist/stdin throughput class,
-    /root/reference/src/source/wordlist.rs:50-80)."""
-
-    def fn(kw):
-        norm = normalize_scalar(kw)
-        d = derive_hash160s(norm, inv_chunk=inv_chunk)
-        return norm, d["h160c"]
-
-    return jax.jit(fn)
-
-
-@functools.lru_cache(maxsize=None)
-def _string_match_program(inv_chunk: int, win_c: int, win_u: int):
-    def fn(kw, chi, clo, uhi, ulo):
-        norm = normalize_scalar(kw)
-        d = derive_hash160s(norm, inv_chunk=inv_chunk)
-        fc = hash160_fragment(d["h160c"])
-        fu = hash160_fragment(d["h160u"])
-        return (DeviceTargetSet._lookup(chi, clo, win_c, *fc)
-                | DeviceTargetSet._lookup(uhi, ulo, win_u, *fu))
-
-    return jax.jit(fn)
-
-
 class StringDriver:
-    """Forward search over string inputs (wordlist/stdin/files)."""
+    """Forward search over string inputs (wordlist/stdin/files).
 
-    PAD = 1024  # fixed device width for the shared string derive program
+    Device programs are the SAME DeriveMatcher programs the numeric
+    ForwardDriver compiles (full-mask variant for matching, collect variant
+    for generate mode) — when the string pad width equals the numeric batch,
+    string and numeric drivers share every expensive ECC compilation."""
+
+    # fixed device width for the shared string derive program; 1024 keeps
+    # the Pallas tile fast path (n % 1024 == 0).  VUKE_STRING_PAD overrides
+    # (the CPU test tier sets 512 so string programs share the numeric
+    # drivers' batch-512 compilations).
+    PAD = 1024
 
     def __init__(self, specs: Sequence[TransformSpec], matcher: Optional[Matcher],
                  output, deriver: Optional[KeyDeriver] = None, inv_chunk: int = 32,
@@ -409,23 +390,31 @@ class StringDriver:
         self.inv_chunk = inv_chunk
         self.targets = DeviceTargetSet(matcher.targets) if matcher else None
         self._dm = None
+        self._gen_dm = None
+        import os
+        self.pad = int(os.environ.get("VUKE_STRING_PAD", self.PAD))
+        self._valid_ones = jnp.ones(self.pad, dtype=bool)
         # progress over *inputs* (words/lines/files) — the reference renders
         # an indicatif bar in every source (source/wordlist.rs, lib.rs:32-37)
         self.progress = progress
 
+    def _pad_chunks(self, keys_flat: np.ndarray):
+        for ofs in range(0, len(keys_flat), self.pad):
+            chunk = keys_flat[ofs:ofs + self.pad]
+            m = len(chunk)
+            if m < self.pad:
+                chunk = np.vstack([chunk, np.tile(chunk[-1:], (self.pad - m, 1))])
+            yield ofs, m, jnp.asarray(chunk)
+
     def _device_match(self, keys_flat: np.ndarray) -> np.ndarray:
         """(M, 8) keys -> candidate mask, via fixed-width padded chunks."""
         if self._dm is None:
-            win_c, win_u = self.targets.windows
-            self._dm = _string_match_program(self.inv_chunk, win_c, win_u)
-        pool_args = self.targets.device_args()
+            self._dm = DeriveMatcher(self.targets, collect_keys=False,
+                                     inv_chunk=self.inv_chunk)
         out = np.zeros(len(keys_flat), dtype=bool)
-        for ofs in range(0, len(keys_flat), self.PAD):
-            chunk = keys_flat[ofs:ofs + self.PAD]
-            m = len(chunk)
-            if m < self.PAD:
-                chunk = np.vstack([chunk, np.tile(chunk[-1:], (self.PAD - m, 1))])
-            out[ofs:ofs + m] = np.asarray(self._dm(jnp.asarray(chunk), *pool_args))[:m]
+        for ofs, m, chunk in self._pad_chunks(keys_flat):
+            mask = self._dm.run_mask(chunk, self._valid_ones)
+            out[ofs:ofs + m] = np.asarray(mask)[:m]
         return out
 
     def process_blob(self, data: bytes, label: str) -> ProcessStats:
@@ -512,15 +501,13 @@ class StringDriver:
         flat = keys.reshape(-1, 8)
         norm = np.zeros_like(flat)
         h160c = np.zeros((len(flat), 5), dtype=np.uint32)
-        prog = _string_generate_program(self.inv_chunk)
-        for ofs in range(0, len(flat), self.PAD):
-            chunk = flat[ofs:ofs + self.PAD]
-            m = len(chunk)
-            if m < self.PAD:
-                chunk = np.vstack([chunk, np.tile(chunk[-1:], (self.PAD - m, 1))])
-            nk, hc = prog(jnp.asarray(chunk))
-            norm[ofs:ofs + m] = np.asarray(nk)[:m]
-            h160c[ofs:ofs + m] = np.asarray(hc)[:m]
+        if self._gen_dm is None:
+            self._gen_dm = DeriveMatcher(None, collect_keys=True,
+                                         inv_chunk=self.inv_chunk)
+        for ofs, m, chunk in self._pad_chunks(flat):
+            r = self._gen_dm.run(chunk, self._valid_ones)
+            norm[ofs:ofs + m] = np.asarray(r["keys"])[:m]
+            h160c[ofs:ofs + m] = np.asarray(r["h160c"])[:m]
         addrs = native.batch_p2pkh(h160c.astype("<u4").tobytes(), len(flat),
                                    self.deriver.network.p2pkh_version)
         emit = _fast_emitter(self.output, self.deriver)
