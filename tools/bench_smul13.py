@@ -9,6 +9,7 @@ Usage: python tools/bench_smul13.py [batch_log2=17] [wbits=8]
 NOTE: single shared TPU — never run concurrently with another JAX process.
 """
 
+import os
 import sys
 import time
 
@@ -121,6 +122,8 @@ def main():
     dt13, out13 = bench("smul13", f13, digs)
     check_lanes("smul13", ks, *out13, lanes=list(range(12)) + [100, n - 1])
 
+    if os.environ.get("VUKE_BENCH_SKIP16"):
+        return
     f16 = jax.jit(scalar_mul_zz_pallas)
     print("compiling 16-bit kernel...", flush=True)
     dt16, out16 = bench("smul16", f16, digits_of(ks))

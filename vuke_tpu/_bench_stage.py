@@ -36,6 +36,10 @@ def main():
         # zero-free odd-digit windows + high-first reduce
         os.environ["VUKE_BENCH_TILED"] = "1"
         os.environ["VUKE_TPU_DIGITS"] = "odd"
+    elif mode == "tiled_seq":
+        # sequential-scan workload: incremental point-add per key
+        # (reported as its own metric, never as the headline best)
+        os.environ["VUKE_TPU_DIGITS"] = "odd"
 
     t0 = time.time()
     print(f"[stage {mode}] importing jax...", file=sys.stderr, flush=True)
@@ -45,10 +49,15 @@ def main():
     print(f"[stage {mode}] device: {dev.device_kind} ({dev.platform}); "
           f"compiling batch={batch}...", file=sys.stderr, flush=True)
 
-    from vuke_tpu.benchmark import bench_derive
+    if mode == "tiled_seq":
+        from vuke_tpu.benchmark import bench_sequential
 
-    r = bench_derive(batch=batch, warmup_s=3.0, measure_s=measure_s,
-                     inv_chunk=int(os.environ.get("VUKE_BENCH_INV_CHUNK", 256)))
+        r = bench_sequential(batch=batch, warmup_s=3.0, measure_s=measure_s)
+    else:
+        from vuke_tpu.benchmark import bench_derive
+
+        r = bench_derive(batch=batch, warmup_s=3.0, measure_s=measure_s,
+                         inv_chunk=int(os.environ.get("VUKE_BENCH_INV_CHUNK", 256)))
     r["mode"] = mode
     r["device_kind"] = getattr(dev, "device_kind", "unknown")
     r["n_devices"] = len(jax.devices())

@@ -192,6 +192,49 @@ def bench_derive(batch: int = 1 << 20, warmup_s: float = 2.0, measure_s: float =
     }
 
 
+def bench_sequential(batch: int = 1 << 19, warmup_s: float = 2.0,
+                     measure_s: float = 5.0):
+    """Sequential-scan derive rate: contiguous private keys via one
+    incremental point-add per key (ecc/incremental.py) — the puzzle-scan
+    workload (range source x direct:be).  The per-superbatch host work
+    (one affine point addition for the new base) runs inside the timed
+    loop, exactly as the ForwardDriver pays it."""
+    from .ecc.incremental import (BaseStepper, limbs16, offset_table,
+                                  sequential_core)
+
+    t0 = time.time()
+    offx, offy = offset_table(batch)
+    table_s = time.time() - t0
+
+    @jax.jit
+    def step(bx16, by16, ox, oy):
+        d = sequential_core(bx16, by16, ox, oy)
+        return (d["frag_c"][0].sum(dtype=jnp.uint32),
+                d["frag_u"][0].sum(dtype=jnp.uint32))
+
+    stepper = BaseStepper(batch)
+    counter = {"i": 0}
+    start0 = 1 << 48
+
+    def fn():
+        counter["i"] += 1
+        bx, by = stepper.base_for(start0 + counter["i"] * batch)
+        return step(jnp.asarray(limbs16(bx)), jnp.asarray(limbs16(by)),
+                    offx, offy)
+
+    iters, secs = _time_loop(fn, warmup_s, measure_s)
+    rate = iters * batch / secs
+    return {
+        "metric": "sequential_scan_derivations_per_sec",
+        "derivations_per_sec": rate,
+        "batch": batch,
+        "devices": len(jax.devices()),
+        "iterations": iters,
+        "elapsed_secs": secs,
+        "offset_table_secs": table_s,
+    }
+
+
 def bench_suite(batch: int = 1 << 16, measure_s: float = 3.0):
     """Per-kernel benchmark suite — the criterion-bench analogue
     (/root/reference/benches/transforms.rs + derivation.rs): the five

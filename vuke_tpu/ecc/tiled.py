@@ -407,11 +407,64 @@ def derive_tiled_from_words(words):
     return out
 
 
-def _derive_core_t(norm_t, n, nb):
-    """normalized (8, nb, 8, 128) scalars -> hash160s + match fragments."""
+def _affine16(X, Y, ZZ, ZZZ):
+    """(X, Y, ZZ, ZZZ) 16-limb rows (stacked or lists) -> canonical affine
+    (x, y) row lists via one shared Montgomery batch inversion."""
+    rowsof = lambda a: [a[i] for i in range(16)]
+    T = _mul_t(rowsof(ZZ), rowsof(ZZZ))
+    iT = _batch_inverse_tiles(jnp.stack(T, axis=0))
+    iT_rows = rowsof(iT)
+    x = _mul_t(_mul_t(rowsof(X), iT_rows), rowsof(ZZZ))
+    y = _mul_t(_mul_t(rowsof(Y), iT_rows), rowsof(ZZ))
+    return _fe_normalize_rows(x), _fe_normalize_rows(y)
+
+
+def _hash_tail_t(x, y, n, nb):
+    """Canonical affine (x, y) limb-row lists -> hash160s + match
+    fragments (the shared pipeline tail)."""
     from ..cores.pallas_kernels import _hash160_call
     from ..cores.common import byteswap32
 
+    xw_t = _limbs_to_words_t(x)                        # (8, nb, 8, 128)
+    yw_t = _limbs_to_words_t(y)
+    y_odd = (y[0] & np.uint32(1))                      # (nb, 8, 128)
+
+    hc_t, hu_t = _hash160_call(n)(xw_t, yw_t, y_odd)   # (5, nb, 8, 128) x2
+
+    frag_c_hi = byteswap32(hc_t[0]).reshape(n)
+    frag_c_lo = byteswap32(hc_t[1]).reshape(n)
+    frag_u_hi = byteswap32(hu_t[0]).reshape(n)
+    frag_u_lo = byteswap32(hu_t[1]).reshape(n)
+
+    return {
+        "h160c": hc_t.reshape(5, n).T,
+        "h160u": hu_t.reshape(5, n).T,
+        "frag_c": (frag_c_hi, frag_c_lo),
+        "frag_u": (frag_u_hi, frag_u_lo),
+    }
+
+
+def affine_points_tiled(words):
+    """(N, 8) BE-word scalars -> canonical affine (x, y) stacked limb rows
+    (16, nb, 8, 128) each, via the full tiled scalar-mul pipeline.  Used to
+    build the sequential-scan offset table (ecc/incremental.py)."""
+    n = words.shape[0]
+    assert n % 1024 == 0
+    nb = n // 1024
+    words_t = words.T.reshape(8, nb, 8, 128)
+    norm_t = _normalize_words_t(words_t)
+    x, y = _affine_core_t(norm_t, n, nb)
+    return jnp.stack(x, axis=0), jnp.stack(y, axis=0)
+
+
+def _derive_core_t(norm_t, n, nb):
+    """normalized (8, nb, 8, 128) scalars -> hash160s + match fragments."""
+    x, y = _affine_core_t(norm_t, n, nb)
+    return _hash_tail_t(x, y, n, nb)
+
+
+def _affine_core_t(norm_t, n, nb):
+    """normalized (8, nb, 8, 128) scalars -> canonical affine (x, y) rows."""
     inv13 = False  # measured SLOWER e2e (9.60 vs 10.44 M/s): 13-bit muls at
     # the XLA level fuse worse than 16-bit _mul_t; VUKE_TPU_INV13=1 re-tests
     import os
@@ -452,29 +505,6 @@ def _derive_core_t(norm_t, n, nb):
             table = jnp.asarray(_table_f32())
             X, Y, ZZ, ZZZ = _smul_call(n, 1024)(digits_t, table)
 
-        rowsof = lambda a: [a[i] for i in range(16)]
-        T = _mul_t(rowsof(ZZ), rowsof(ZZZ))
-        iT = _batch_inverse_tiles(jnp.stack(T, axis=0))
-        iT_rows = rowsof(iT)
-        x = _mul_t(_mul_t(rowsof(X), iT_rows), rowsof(ZZZ))
-        y = _mul_t(_mul_t(rowsof(Y), iT_rows), rowsof(ZZ))
-        x = _fe_normalize_rows(x)
-        y = _fe_normalize_rows(y)
+        x, y = _affine16(X, Y, ZZ, ZZZ)
 
-    xw_t = _limbs_to_words_t(x)                        # (8, nb, 8, 128)
-    yw_t = _limbs_to_words_t(y)
-    y_odd = (y[0] & np.uint32(1))                      # (nb, 8, 128)
-
-    hc_t, hu_t = _hash160_call(n)(xw_t, yw_t, y_odd)   # (5, nb, 8, 128) x2
-
-    frag_c_hi = byteswap32(hc_t[0]).reshape(n)
-    frag_c_lo = byteswap32(hc_t[1]).reshape(n)
-    frag_u_hi = byteswap32(hu_t[0]).reshape(n)
-    frag_u_lo = byteswap32(hu_t[1]).reshape(n)
-
-    return {
-        "h160c": hc_t.reshape(5, n).T,
-        "h160u": hu_t.reshape(5, n).T,
-        "frag_c": (frag_c_hi, frag_c_lo),
-        "frag_u": (frag_u_hi, frag_u_lo),
-    }
+    return x, y

@@ -157,6 +157,64 @@ class DeriveMatcher:
         return fn(keys, valid, *self._pool_args)["mask"]
 
 
+@functools.lru_cache(maxsize=None)
+def _seq_program(win_c: int, win_u: int, full_mask: bool = False):
+    """Compiled sequential-scan slot program: base point + offset tables ->
+    point-add derive -> match (ecc/incremental.py).  Cached per
+    target-window shape like _dm_program; the base point and limit are
+    traced arguments so one compile serves every superbatch."""
+
+    def fn(bx16, by16, offx, offy, limit, offsets, chi, clo, uhi, ulo):
+        from .ecc.incremental import sequential_core
+        d = sequential_core(bx16, by16, offx, offy)
+        valid = offsets < limit
+        m = (DeviceTargetSet._lookup(chi, clo, win_c, *d["frag_c"])
+             | DeviceTargetSet._lookup(uhi, ulo, win_u, *d["frag_u"]))
+        m = m & valid
+        out = {"n_valid": valid.sum()}
+        if full_mask:
+            out["mask"] = m
+        else:
+            out["count"] = m.sum()
+            out["hit_idx"] = jnp.nonzero(m, size=MAX_HITS_PER_BATCH,
+                                         fill_value=2**31 - 1)[0]
+        return out
+
+    return jax.jit(fn)
+
+
+class SequentialScan:
+    """Runner for contiguous-scalar slots (direct/direct:be over a range):
+    one affine point addition per key from a cached (i+1)*G offset table
+    instead of a full fixed-base scalar multiplication — the puzzle-scan
+    fast path (~20x fewer field muls; see ecc/incremental.py and
+    docs/KERNELS.md)."""
+
+    def __init__(self, dm: "DeriveMatcher", batch: int, mesh=None):
+        from .ecc.incremental import BaseStepper, offset_table
+        self.dm = dm
+        self.batch = batch
+        self._offx, self._offy = offset_table(batch, mesh=mesh)
+        self._offsets = jnp.asarray(np.arange(batch, dtype=np.uint32))
+        self._fn = _seq_program(*dm._windows)
+        self._stepper = BaseStepper(batch)
+
+    def run(self, start: int, limit: int):
+        from .ecc.incremental import limbs16
+        bx, by = self._stepper.base_for(start)
+        return self._fn(jnp.asarray(limbs16(bx)), jnp.asarray(limbs16(by)),
+                        self._offx, self._offy, jnp.uint32(limit),
+                        self._offsets, *self.dm._pool_args)
+
+
+def _sequential_enabled() -> bool:
+    import os
+    from .ecc.pubkey import use_pallas_default
+    if os.environ.get("VUKE_TPU_SEQUENTIAL", "1") in ("0", "false", "no"):
+        return False
+    return use_pallas_default()
+
+
 def _keygen_program(nt):
     """Per-NumericTransform jitted keygen, cached *on the transform object*
     (a dead object's id can be reused by a fresh spec, so an id-keyed dict
@@ -206,15 +264,37 @@ class ScanProgram:
 
         self._keygen = _keygen_program(nt)
 
+        # contiguous-scalar slots (direct/direct:be) take the incremental
+        # point-add path when matching on an accelerator backend
+        self._seq = None
+        self._seq_slot = getattr(nt, "sequential_slot", None)
+        if (self._seq_slot is not None and dm.match
+                and batch % 1024 == 0 and _sequential_enabled()):
+            try:
+                self._seq = SequentialScan(dm, batch, mesh=mesh)
+            except Exception as e:  # offset-table build/compile failure
+                from .telemetry import log
+                log().warning(
+                    "sequential-scan table build failed (%s: %s); using the "
+                    "scalar-mul path", type(e).__name__, e)
+                self._seq = None
+
     def run(self, start: int, limit: Optional[int] = None):
         """Launch one superbatch (async).  Returns per-slot result dicts."""
         if limit is None:
             limit = self.batch
-        keys, valid = self._keygen(
-            jnp.uint32(start >> 32), jnp.uint32(start & 0xFFFFFFFF),
-            jnp.uint32(limit), self._offsets)
+        keys = valid = None
         results = []
         for s in range(self.spec.numeric.n_slots):
+            if self._seq is not None and s == self._seq_slot:
+                from .ecc.incremental import sequential_safe
+                if sequential_safe(start, self.batch):
+                    results.append(dict(self._seq.run(start, limit)))
+                    continue
+            if keys is None:
+                keys, valid = self._keygen(
+                    jnp.uint32(start >> 32), jnp.uint32(start & 0xFFFFFFFF),
+                    jnp.uint32(limit), self._offsets)
             r = dict(self.dm.run(keys[:, s, :], valid[:, s]))
             if self.dm.collect_keys:
                 r["valid"] = valid[:, s]

@@ -25,10 +25,15 @@ from ..cores.sha256 import sha256_words, sha256_key_words
 
 @dataclass
 class NumericTransform:
-    """name: registry name; slots: per-key label suffixes ('' = none)."""
+    """name: registry name; slots: per-key label suffixes ('' = none).
+
+    ``sequential_slot``: index of a slot whose key equals the seed value
+    itself (key_{seed+1} = key_{seed} + 1), letting contiguous-range scans
+    take the incremental point-add fast path (ecc/incremental.py)."""
     name: str
     slots: List[str]
     fn: Callable  # (hi, lo) -> (keys (N, S, 8) uint32, valid (N, S) bool)
+    sequential_slot: "int | None" = None
 
     @property
     def n_slots(self) -> int:
@@ -54,7 +59,22 @@ def _direct(hi, lo):
     return keys, _all_valid(keys)
 
 
-DIRECT = NumericTransform("direct", ["", "", ""], _direct)
+DIRECT = NumericTransform("direct", ["", "", ""], _direct, sequential_slot=0)
+
+
+def _direct_one(idx):
+    def fn(hi, lo):
+        keys, valid = _direct(hi, lo)
+        return keys[:, idx:idx + 1, :], valid[:, idx:idx + 1]
+    return fn
+
+
+# single-interpretation variants (TPU extension, not in the reference CLI):
+# direct:be scans seeds as the private keys themselves — the bitcoin-puzzle
+# workload — and is fully served by the incremental point-add fast path
+DIRECT_BE = NumericTransform("direct", [""], _direct_one(0), sequential_slot=0)
+DIRECT_LE = NumericTransform("direct", [""], _direct_one(1))
+DIRECT_STR = NumericTransform("direct", [""], _direct_one(2))
 
 
 # --- sha256 / double_sha256 (/root/reference/src/transform/sha256.rs) ------

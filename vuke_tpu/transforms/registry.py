@@ -47,6 +47,14 @@ def parse_transform(s: str) -> TransformSpec:
     sl = s.lower()
     if sl == "direct":
         return TransformSpec("direct", numeric.DIRECT, strings.make_string_direct())
+    if sl in ("direct:be", "direct:le", "direct:str"):
+        # single-interpretation variants (extension): direct:be = seeds ARE
+        # the private keys (the puzzle-scan workload; served by the
+        # incremental point-add fast path over contiguous ranges)
+        nt = {"be": numeric.DIRECT_BE, "le": numeric.DIRECT_LE,
+              "str": numeric.DIRECT_STR}[sl.split(":")[1]]
+        st = strings.make_string_direct() if sl.endswith(":str") else None
+        return TransformSpec("direct", nt, st)
     if sl == "sha256":
         return TransformSpec("sha256", numeric.SHA256, strings.make_string_hash("sha256"))
     if sl == "double_sha256":
