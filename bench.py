@@ -26,7 +26,15 @@ and a parent holding it would deadlock the stage.
 
 Env knobs: VUKE_BENCH_BUDGET_S (total wall budget, default 1500),
 VUKE_BENCH_BATCH, VUKE_BENCH_SECONDS, VUKE_BENCH_STAGES (comma list; known
-stages: xla, pallas, tiled, tiled_signed, tiled_odd).
+stages: xla, pallas, tiled, tiled_signed, tiled_odd, tiled_seq).
+
+Stage order is BEST-KNOWN-FIRST: docs/batch_sweep_tpu.json measured odd
+digits ~10% over signed at both batches, so tiled_odd is the headline
+stage and runs with the big budget slice; tiled_seq (the sequential-scan
+metric, task of its own) next; tiled_signed last as optional diversity.
+Round 3 ordered signed first and the known-best mode never got a turn
+when the window collapsed — tests/test_bench_harness.py now pins the
+order against the committed sweep data.
 """
 
 import json
@@ -38,6 +46,18 @@ import time
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
+# The headline stage list. xla is the cheap-to-compile guaranteed first
+# line; tiled_odd is the measured-best kernel (docs/batch_sweep_tpu.json)
+# and must come before every other tiled mode.
+DEFAULT_STAGES = "xla,tiled_odd,tiled_seq,tiled_signed"
+
+# Budget (seconds) held back from the FIRST tiled stage so the insurance
+# retry can actually fire if that stage blows its window: round 3's retry
+# required >240s remaining but the timed-out stage had consumed the whole
+# budget, so the insurance could never trigger in exactly the scenario it
+# existed for.
+_INSURANCE_RESERVE_S = 300.0
+
 # Peak bf16 TFLOP/s per chip, used to scale the v5p-8 north-star target to
 # whatever hardware the driver actually runs on (public TPU spec sheets).
 _PEAK_TFLOPS = {
@@ -47,9 +67,13 @@ _PEAK_TFLOPS = {
 _V5P8_PEAK = 4 * 459.0  # v5p-8 = 4 dual-core chips
 
 # wall-clock caps per stage kind: the xla stage is the guaranteed first
-# line and must never eat the tiled stages' budget (cold it measured 137s;
-# warm ~35s); tiled stages get whatever remains.
-_XLA_CAP_S = 420.0
+# line and must never eat the tiled stages' budget (cold it measured 137s
+# at 2^18; warm ~35s); tiled stages get whatever remains.  The xla stage
+# runs at batch 2^18 — its cold compile at 2^19 took 318s (BENCH_r03) for
+# a *lower* rate than 2^18's 0.36M/s (BENCH_r02); it is insurance, not
+# the headline, so compile speed wins.
+_XLA_CAP_S = 360.0
+_XLA_BATCH = 1 << 18
 
 
 def _peak_tflops(device_kind: str, n_devices: int) -> float:
@@ -62,14 +86,16 @@ def _peak_tflops(device_kind: str, n_devices: int) -> float:
     return per_chip * max(1, n_devices)
 
 
-def _run_stage(mode: str, timeout_s: float):
+def _run_stage(mode: str, timeout_s: float, env_overlay=None):
     """Run one benchmark stage as a subprocess; returns its result dict."""
     print(f"[bench] stage '{mode}' (timeout {timeout_s:.0f}s)...",
           file=sys.stderr, flush=True)
+    env = dict(os.environ, **(env_overlay or {}))
     try:
         proc = subprocess.run(
             [sys.executable, "-m", "vuke_tpu._bench_stage", mode],
-            cwd=_REPO, timeout=timeout_s, capture_output=True, text=True)
+            cwd=_REPO, timeout=timeout_s, capture_output=True, text=True,
+            env=env)
     except subprocess.TimeoutExpired:
         print(f"[bench] stage '{mode}' timed out", file=sys.stderr, flush=True)
         return None
@@ -121,21 +147,32 @@ def main():
     budget = float(os.environ.get("VUKE_BENCH_BUDGET_S", 1500.0))
     t0 = time.time()
     stages = [s.strip() for s in
-              os.environ.get("VUKE_BENCH_STAGES",
-                             "xla,tiled_signed,tiled_odd,tiled_seq").split(",")
+              os.environ.get("VUKE_BENCH_STAGES", DEFAULT_STAGES).split(",")
               if s.strip()]
 
     best = None
     seq = None
     tiled_ok = False
+    first_tiled = next((s for s in stages if s.startswith("tiled")
+                        and s != "tiled_seq"), None)
     for mode in stages:
         remaining = budget - (time.time() - t0) - 30.0
         if best is not None and remaining < 240.0:
             print(f"[bench] skipping '{mode}': {remaining:.0f}s left",
                   file=sys.stderr, flush=True)
             continue
-        timeout_s = min(remaining, _XLA_CAP_S) if mode == "xla" else remaining
-        r = _run_stage(mode, max(timeout_s, 120.0))
+        overlay = None
+        if mode == "xla":
+            timeout_s = min(remaining, _XLA_CAP_S)
+            overlay = {"VUKE_BENCH_BATCH":
+                       os.environ.get("VUKE_BENCH_BATCH", str(_XLA_BATCH))}
+        elif mode == first_tiled and remaining - _INSURANCE_RESERVE_S > 400.0:
+            # hold back the insurance slice so a blown compile window on
+            # the headline stage still leaves a funded retry
+            timeout_s = remaining - _INSURANCE_RESERVE_S
+        else:
+            timeout_s = remaining
+        r = _run_stage(mode, max(timeout_s, 120.0), overlay)
         if r is None:
             continue
         if mode == "tiled_seq":
@@ -149,13 +186,13 @@ def main():
             _emit(best)
 
     # insurance: if no tiled stage produced a number (e.g. every compile
-    # blew its window), retry the proven signed-digit path once — partial
+    # blew its window), retry the measured-best mode once — partial
     # programs from the killed attempt are already in the persistent cache,
     # so the retry compiles much faster
-    if not tiled_ok and any(s.startswith("tiled") for s in stages):
+    if not tiled_ok and first_tiled is not None:
         remaining = budget - (time.time() - t0) - 30.0
-        if remaining > 240.0:
-            r = _run_stage("tiled_signed", remaining)
+        if remaining > 200.0:
+            r = _run_stage(first_tiled, remaining)
             if r is not None and (best is None or
                                   r["derivations_per_sec"] > best["derivations_per_sec"]):
                 best = r

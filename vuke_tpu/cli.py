@@ -334,6 +334,19 @@ def _run_scan(params, source):
     t = params["targets"]
     resolved = provider.resolve(t)
     if resolved is not None:
+        if not resolved.addresses:
+            # a scan against zero targets finds nothing by construction —
+            # fail loudly instead of silently burning device time
+            raise click.ClickException(
+                f"{resolved.description} resolved to 0 usable addresses"
+                + (f" ({resolved.skipped_offline} matching entries ship "
+                   f"address: null in the offline dataset — see "
+                   f"tools/build_puzzles.py provenance notes)"
+                   if resolved.skipped_offline else ""))
+        if resolved.skipped_offline:
+            click.echo(
+                f"warning: {resolved.skipped_offline} matching puzzles have "
+                f"no offline address and are NOT scanned for", err=True)
         matcher = Matcher.from_addresses(resolved.addresses)
         click.echo(f"Loaded {matcher.count()} target addresses from provider {t}", err=True)
     else:
