@@ -110,3 +110,45 @@ def test_tiled_from_words_matches_standard():
     assert (np.asarray(d_t["norm"]) == np.asarray(norm_s)).all()
     assert (np.asarray(d_t["h160c"]) == np.asarray(d_s["h160c"])).all()
     assert (np.asarray(d_t["h160u"]) == np.asarray(d_s["h160u"])).all()
+
+
+def test_pallas_inversion_affine_matches_host_oracle():
+    """The Pallas Montgomery-inversion + affine kernels (ecc/pallas_inv.py)
+    produce the exact canonical affine coordinates, verified lane-for-lane
+    against host bignum inversion (x = X/ZZ, y = Y/ZZZ mod p) — including
+    a multi-tile batch so both sequential scan passes cross tile
+    boundaries.  (Deliberately NOT compared against tiled._affine16's XLA
+    branch on-device: that graph is the ~30-minute cold compile this
+    kernel exists to remove; the host oracle is equally exact and free.)"""
+    from vuke_tpu.ecc.pallas_smul13 import scalar_mul_zz_pallas13
+    from vuke_tpu.ecc.pallas_inv import affine16_pallas
+    from vuke_tpu.ecc.pubkey import scalar_digits
+    from vuke_tpu.ecc import tiled
+
+    n = 4096
+    ks = _interesting_scalars(n)
+    words = _scalar_words(ks)
+    wbits, signed = tiled.window_bits(), tiled.signed_digits()
+    X, Y, ZZ, ZZZ = jax.jit(lambda w: scalar_mul_zz_pallas13(
+        scalar_digits(w, wbits, signed), wbits=wbits,
+        signed=signed))(words)
+    nb = n // 1024
+    tile = lambda a: a.T.reshape(16, nb, 8, 128)
+
+    xp, yp = jax.jit(lambda *a: tuple(
+        jnp.stack(r, 0) for r in affine16_pallas(*a)))(
+        tile(X), tile(Y), tile(ZZ), tile(ZZZ))
+
+    def ints(stacked):                       # (16, nb, 8, 128) -> (N,) ints
+        rows = np.asarray(stacked).reshape(16, n).T.astype(object)
+        return [sum(int(r[i]) << (16 * i) for i in range(16)) for r in rows]
+
+    Xi, Yi = ints(tile(X)), ints(tile(Y))
+    ZZi, ZZZi = ints(tile(ZZ)), ints(tile(ZZZ))
+    xi, yi = ints(xp), ints(yp)
+    for l in range(n):
+        assert xi[l] == Xi[l] * pow(ZZi[l], ref.P - 2, ref.P) % ref.P
+        assert yi[l] == Yi[l] * pow(ZZZi[l], ref.P - 2, ref.P) % ref.P
+    # and lane 0 is the oracle point for its scalar
+    gx, gy = ref.point_mul(ks[0])
+    assert (xi[0], yi[0]) == (gx, gy)

@@ -409,7 +409,16 @@ def derive_tiled_from_words(words):
 
 def _affine16(X, Y, ZZ, ZZZ):
     """(X, Y, ZZ, ZZZ) 16-limb rows (stacked or lists) -> canonical affine
-    (x, y) row lists via one shared Montgomery batch inversion."""
+    (x, y) row lists via one shared Montgomery batch inversion.
+
+    On Mosaic-capable backends this dispatches to the Pallas kernels
+    (ecc/pallas_inv.py): bit-identical outputs, but the XLA graph below
+    cold-compiles for ~30 minutes while the kernels compile in seconds
+    (.bench_logs/compile_profile_r4.*).  The XLA form remains the
+    CPU/fallback path."""
+    from .pallas_inv import affine16_pallas, use_pallas_inv
+    if use_pallas_inv():
+        return affine16_pallas(X, Y, ZZ, ZZZ)
     rowsof = lambda a: [a[i] for i in range(16)]
     T = _mul_t(rowsof(ZZ), rowsof(ZZZ))
     iT = _batch_inverse_tiles(jnp.stack(T, axis=0))
