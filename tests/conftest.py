@@ -25,7 +25,7 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from vuke_tpu._cache import enable_compile_cache
+from vuke_tpu._cache import apply_cpu_compile_flags, enable_compile_cache
 
 enable_compile_cache()
 
@@ -38,19 +38,10 @@ if _CPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-    if "xla_cpu_max_isa" not in flags:
-        # without a pinned ISA, XLA:CPU AOT cache entries embed tuning
-        # pseudo-features (+prefer-no-gather) that fail the load-time host
-        # feature check, so the persistent cache silently recompiled every
-        # big program (~80-190s each, the whole fast tier >50 min)
-        flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
-    if "xla_backend_optimization_level" not in flags:
-        # -O1 codegen: LLVM -O3 hits a pathological pattern on PRNG-chain +
-        # reduce fusions (minstd LCG sweep step alone compiled >6 min,
-        # "Very slow compile" alarm; test_analyze/test_pipeline >20 min).
-        # Tests want compile speed, not peak CPU codegen.
-        flags = (flags + " --xla_backend_optimization_level=1").strip()
     os.environ["XLA_FLAGS"] = flags
+    # AVX2 pin + -O1 codegen (shared with the --no-tpu CLI backend):
+    # stable AOT cache keys and no pathological LLVM -O3 compiles
+    apply_cpu_compile_flags()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

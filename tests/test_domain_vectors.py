@@ -122,6 +122,33 @@ def test_resolve_boha_filters():
     assert len(with_pk) <= unsolved
 
 
+def test_b1000_filter_counts_and_pubkey_targets():
+    """Per-collection filter counts against the bundled dataset, mirroring
+    the reference's boha-backed filter semantics (provider.rs:216-244).
+
+    At the v0.9.0 snapshot: 79 solved (66 sequential + 13 stepped <= 130),
+    and the 6 still-unsolved stepped puzzles (135..160 step 5) whose
+    pubkeys the 2017 reveal exposed must ALL resolve as with-pubkey
+    targets with real addresses (the Pollard-cascade workload)."""
+    solved = provider.resolve("boha:b1000:solved")
+    assert len(solved.addresses) == 79
+    assert solved.skipped_offline == 0       # every solved entry derivable
+    wp = provider.resolve("boha:b1000:with-pubkey")
+    assert len(wp.addresses) == 6
+    assert wp.skipped_offline == 0
+    # stepped-135 is the canonical with-pubkey target; its address is
+    # pubkey-derived (hash160 + base58check), so pinning it pins the pubkey
+    assert "16RGFo6hjq9ym6Pj7N5H7L1NR1rVPJyw2v" in wp.addresses
+
+
+def test_zero_target_resolution_is_flagged():
+    """Collections whose entries ship address: null must surface the
+    skipped count so the CLI can refuse to scan against nothing."""
+    r = provider.resolve("boha:bitaps:unsolved")
+    assert r.addresses == []
+    assert r.skipped_offline == 1
+
+
 def test_resolve_boha_all_pseudo_collection():
     # provider.rs:185-192: "all:<filter>" spans every collection
     every = provider.resolve("boha:all:all").addresses

@@ -113,6 +113,55 @@ REMEMBERED_ADDRESSES = {
 }
 
 
+# --- 2017-revealed pubkeys of the still-unsolved stepped puzzles -----------
+# In 2017 the puzzle creator spent a small amount FROM every stepped address
+# (multiples of 5 up to 160), exposing their public keys on-chain — that is
+# what makes the `with-pubkey` filter and Pollard-style kangaroo cascades
+# meaningful (provider.rs:216-244).  At the reference snapshot (v0.9.0) the
+# stepped puzzles <= 130 are solved (keys above); 135..160 remain unsolved
+# with known pubkeys.  Offline validation is double-entry: the pubkey must
+# be a valid secp256k1 point AND its derived P2PKH address must equal the
+# independently remembered (base58check-gated) address.  A mis-recalled
+# pubkey cannot hash160 to a mis-recalled-but-checksum-valid address, so a
+# match pins both to ~2^-160; on any mismatch the entry ships null (with a
+# loud build warning) rather than a guess.
+REVEALED_PUBKEYS = {
+    135: ("02145d2611c823a396ef6712ce0f712f09b9b4f3135e3e0aa3230fb9b6d08d1e16",
+          "16RGFo6hjq9ym6Pj7N5H7L1NR1rVPJyw2v"),
+    140: ("031f6a332d3c5c4f2de2378c012f429cd109ba07d69690c6c701b6bb87860d6640",
+          "1QKBaUmoZxiiug8T9Rs8eJJZqBBAccyRqU"),
+    145: ("03afdda497369e219a2c1c369954a930e4d3740968e5e4352475bcffce3140dae5",
+          "19GpszRNUej5yYqxXoLnbZWKew3KdVLkXg"),
+    150: ("03137807790ea7dc6e97901c2bc87411f45ed74a5629315c4e4b03a0a102250c49",
+          "1MUJSJYtGPVGkBCTqGspnxyHahpt5Te8jy"),
+    155: ("035cd1854cae45391ca4ec428cc7e6c7d9984424b954209a8eea197b9e364c05f6",
+          "1AoeP37TmHdFh8uN72fu9AqgtLrUwcv2wJ"),
+    160: ("02e0a8b039282faf6fe0fd769cfbc4b6b4cf8758ba68220eac420e32b91ddfa673",
+          "1NBC8uXJy1GiJ6drkiZa1WuKn51ps7EPTv"),
+}
+
+
+def _pubkey_on_curve(pub_hex: str) -> bool:
+    """33-byte compressed SEC1 point membership check (pure host math)."""
+    from vuke_tpu.ecc import ref
+    try:
+        b = bytes.fromhex(pub_hex)
+    except ValueError:
+        return False
+    if len(b) != 33 or b[0] not in (2, 3):
+        return False
+    x = int.from_bytes(b[1:], "big")
+    if x >= ref.P:
+        return False
+    rhs = (pow(x, 3, ref.P) + 7) % ref.P
+    y = pow(rhs, (ref.P + 1) // 4, ref.P)   # sqrt: p % 4 == 3
+    return (y * y) % ref.P == rhs
+
+
+def _p2pkh_of_pubkey(pub_hex: str) -> str:
+    return encode.p2pkh_address(encode.hash160(bytes.fromhex(pub_hex)))
+
+
 def _checksum_ok(addr: str) -> bool:
     try:
         encode.base58check_decode(addr)
@@ -146,6 +195,31 @@ def build_b1000(deriver: KeyDeriver):
             entry.update(address=derived.p2pkh_compressed, solved=True,
                          pubkey=derived.pubkey_compressed, key_hex=key_hex,
                          provenance="derived-from-key")
+        elif n in REVEALED_PUBKEYS:
+            pub_hex, remembered = REVEALED_PUBKEYS[n]
+            derived = (_p2pkh_of_pubkey(pub_hex)
+                       if _pubkey_on_curve(pub_hex) else None)
+            prefix = os.path.commonprefix([derived or "", remembered])
+            if not _pubkey_on_curve(pub_hex):
+                print(f"WARN: b1000/{n}: revealed pubkey not on curve — "
+                      f"shipping null", file=sys.stderr)
+            elif derived == remembered and _checksum_ok(remembered):
+                entry.update(address=remembered, pubkey=pub_hex,
+                             provenance="pubkey-cross-validated")
+            elif len(prefix) >= 6:
+                # the recalled string's TAIL is corrupted (its checksum may
+                # even fail) but a >= 6-char base58 prefix match against an
+                # independently derived address is a ~2^-35 coincidence for
+                # a wrong pubkey — ship the self-consistent derived address
+                print(f"WARN: b1000/{n}: recalled address tail corrupt "
+                      f"({remembered}); prefix '{prefix}' matches — shipping "
+                      f"pubkey-derived {derived}", file=sys.stderr)
+                entry.update(address=derived, pubkey=pub_hex,
+                             provenance="pubkey-prefix-validated")
+            else:
+                print(f"WARN: b1000/{n}: pubkey-derived {derived} != "
+                      f"remembered {remembered} — shipping null",
+                      file=sys.stderr)
         else:
             remembered = REMEMBERED_ADDRESSES.get(n)
             if remembered is not None:

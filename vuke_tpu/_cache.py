@@ -80,6 +80,31 @@ def strip_mosaic_locations() -> None:
         pass
 
 
+def apply_cpu_compile_flags() -> None:
+    """XLA:CPU compile-speed knobs, shared by the fast test tier and the
+    ``--no-tpu`` CLI backend.
+
+    - ``xla_cpu_max_isa=AVX2``: without a pinned ISA, AOT cache entries
+      embed tuning pseudo-features (+prefer-no-gather) that fail the
+      load-time host feature check, so the persistent cache silently
+      recompiled every big program (~80-190s each).
+    - ``xla_backend_optimization_level=1``: LLVM -O3 hits a pathological
+      pattern on PRNG-chain + reduce fusions (a single sweep step compiled
+      >6 min with a "Very slow compile" alarm).  A CPU scan wants compile
+      speed, not peak CPU codegen — the reference's CPU path starts
+      instantly (source/range.rs:36-70), and round 3's first --no-tpu
+      planted-hit scan cost 4m04s of compiles without these flags.
+
+    Safe to call after jax is (pre)imported: XLA_FLAGS is parsed when the
+    CPU client initializes, which happens on first device use."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+    if "xla_backend_optimization_level" not in flags:
+        flags = (flags + " --xla_backend_optimization_level=1").strip()
+    os.environ["XLA_FLAGS"] = flags
+
+
 def enable_compile_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
     global _done
     strip_mosaic_locations()

@@ -199,12 +199,16 @@ def bench_sequential(batch: int = 1 << 19, warmup_s: float = 2.0,
     workload (range source x direct:be).  The per-superbatch host work
     (one affine point addition for the new base) runs inside the timed
     loop, exactly as the ForwardDriver pays it."""
+    import sys
+
     from .ecc.incremental import (BaseStepper, limbs16, offset_table,
                                   sequential_core)
 
     t0 = time.time()
     offx, offy = offset_table(batch)
     table_s = time.time() - t0
+    print(f"[bench_sequential] offset table ready in {table_s:.1f}s",
+          file=sys.stderr, flush=True)
 
     @jax.jit
     def step(bx16, by16, ox, oy):

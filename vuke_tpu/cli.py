@@ -129,6 +129,12 @@ def cli(no_tpu):
     enable_compile_cache()
     setup_logging()
     if no_tpu:
+        from ._cache import apply_cpu_compile_flags
+
+        # compile-speed flags must land before the CPU client initializes
+        # (first device use) — without them a first planted-hit scan paid
+        # 4+ minutes of LLVM -O3 compiles
+        apply_cpu_compile_flags()
         import jax
         try:
             jax.config.update("jax_platforms", "cpu")
@@ -361,6 +367,61 @@ _source_commands(scan, _run_scan)
 # ---------------------------------------------------------------------------
 # single
 # ---------------------------------------------------------------------------
+
+@cli.command("warmup")
+@click.option("--transform", "transforms", multiple=True,
+              default=("milksad", "direct"),
+              help="Numeric transforms to precompile (repeatable)")
+@click.option("--batch", type=int, default=None,
+              help="Superbatch size to warm (default: scan default)")
+def warmup(transforms, batch):
+    """Precompile the scan hot programs for the current backend.
+
+    The reference pays its compiles at cargo-build time; this stack pays
+    them at first jit trace — on a cold CPU backend that is one ~100s
+    LLVM compile of the fused derive+match program landing on the user's
+    FIRST scan.  Running warmup once (after install, or in an image
+    build) moves that cost here instead: compiled programs land in the
+    persistent cache (.jax_cache), so every later process — including a
+    first planted-hit scan — starts hot.  Target pools are padded to
+    shape-stable sizes (matcher.py MIN_POOL), so one warm covers any
+    target set up to 512 addresses per pool.
+    """
+    import time as _time
+
+    import numpy as _np
+
+    from .matcher import DeviceTargetSet, Matcher
+    from .pipeline import DEFAULT_BATCH, DeriveMatcher, ScanProgram
+    from .transforms import parse_transform
+
+    b = batch or DEFAULT_BATCH
+    matcher = Matcher.from_addresses(["1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH"])
+    dm = DeriveMatcher(DeviceTargetSet(matcher.targets), collect_keys=False)
+    for t in transforms:
+        spec = parse_transform(t)
+        if spec.numeric is None:
+            click.echo(f"skipping {t}: string transform (host path)", err=True)
+            continue
+        t0 = _time.time()
+        sp = ScanProgram(spec, dm, batch=b)
+        for r in sp.run(1 << 20):
+            if "count" in r:
+                _np.asarray(r["count"])           # force compile + run
+        # the singleton hit-confirm program (_derive_seed_slot) only
+        # compiles on the FIRST HIT — precompile it too, or a planted-hit
+        # scan still pays a cold compile at the worst moment
+        if not getattr(spec.numeric, "host_only", False):
+            import jax as _jax
+            import jax.numpy as _jnp
+            one = _jnp.asarray(_np.array([1], dtype=_np.uint32))
+            fn = _jax.jit(spec.numeric.fn)
+            keys, _valid = fn(one, one)
+            _np.asarray(keys[0, 0, 0])
+            spec.numeric._compiled_single = fn
+        click.echo(f"warmed {t} (batch {b}): {_time.time() - t0:.1f}s",
+                   err=True)
+
 
 @cli.command("single")
 @click.argument("passphrase")
