@@ -27,7 +27,9 @@ def _sweep_best_tiled_mode():
     with open(path) as f:
         data = json.load(f)
     tiled = [r for r in data["results"]
-             if r["mode"].startswith("tiled") and r.get("clean_run")]
+             if r["mode"].startswith("tiled") and r["mode"] != "tiled_seq"
+             and r.get("clean_run")]   # tiled_seq is its own metric
+             # (sequential-scan), never the headline candidate
     assert tiled, "no tiled sweep rows committed"
     return max(tiled, key=lambda r: r["derivations_per_sec"])["mode"]
 
