@@ -150,7 +150,11 @@ def _scan_driver(addr_targets, batch):
 
 @pytest.mark.slow
 def test_direct_be_scan_recovers_planted_key_via_sequential():
-    seed = (1 << 21) + 12345
+    # seed must lie INSIDE the scanned range below (latent bug until round
+    # 4: the original +12345 offset was beyond the 4096-seed range, so the
+    # scan correctly found nothing — caught the first time the slow tier
+    # actually ran this test on the TPU)
+    seed = (1 << 21) + 2345
     key = seed.to_bytes(32, "big")
     from vuke_tpu.derive import KeyDeriver
     addr = KeyDeriver().derive(key).p2pkh_compressed
