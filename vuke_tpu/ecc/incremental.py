@@ -58,17 +58,24 @@ def sequential_core(bx16, by16, offx, offy):
     then the shared Montgomery-inversion + hash160 tail."""
     nb = offx.shape[1]
     n = nb * 1024
-    bx = [bx16[i] for i in range(16)]     # () rows broadcast over lanes
-    by = [by16[i] for i in range(16)]
-    ox = [offx[i] for i in range(16)]
-    oy = [offy[i] for i in range(16)]
+    from .pallas_inv import seq_madd_pallas, use_pallas_inv
+    if use_pallas_inv():
+        # Pallas point-add (bit-identical; the XLA form of this ~17k-op
+        # graph cold-compiled >900s on the TPU — same cliff as the
+        # inversion graph, same fix)
+        x3, y3, zz, zzz = seq_madd_pallas(offx, offy, bx16, by16)
+    else:
+        bx = [bx16[i] for i in range(16)]     # () rows broadcast over lanes
+        by = [by16[i] for i in range(16)]
+        ox = [offx[i] for i in range(16)]
+        oy = [offy[i] for i in range(16)]
 
-    dx = _sub_t(ox, bx)
-    dy = _sub_t(oy, by)
-    zz = _mul_t(dx, dx)
-    zzz = _mul_t(zz, dx)
-    x3 = _sub_t(_mul_t(dy, dy), _mul_t(_add_t(ox, bx), zz))
-    y3 = _sub_t(_mul_t(dy, _sub_t(_mul_t(bx, zz), x3)), _mul_t(by, zzz))
+        dx = _sub_t(ox, bx)
+        dy = _sub_t(oy, by)
+        zz = _mul_t(dx, dx)
+        zzz = _mul_t(zz, dx)
+        x3 = _sub_t(_mul_t(dy, dy), _mul_t(_add_t(ox, bx), zz))
+        y3 = _sub_t(_mul_t(dy, _sub_t(_mul_t(bx, zz), x3)), _mul_t(by, zzz))
     x, y = _affine16(x3, y3, zz, zzz)
     return _hash_tail_t(x, y, n, nb)
 

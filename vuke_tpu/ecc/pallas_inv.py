@@ -220,6 +220,60 @@ def _inv_affine_calls(nb: int, interpret: bool = False):
     return fwd, fermat, bwd
 
 
+def _seq_madd_kernel(ox_ref, oy_ref, bx_ref, by_ref,
+                     x_ref, y_ref, zz_ref, zzz_ref):
+    """Affine+affine mixed addition P = B + O per lane (the sequential-scan
+    hot op, ecc/incremental.py): dx = ox-bx, dy = oy-by, ZZ = dx^2,
+    ZZZ = dx^3, X3 = dy^2 - (bx+ox)*ZZ, Y3 = dy*(bx*ZZ - X3) - by*ZZZ.
+    Same 16-bit row algebra as the XLA form (bit-identical); in Pallas
+    because the ~17k-op XLA graph cold-compiled for >900s."""
+    from .pallas_smul import _add_t, _sub_t
+
+    ox = _rows(ox_ref)
+    oy = _rows(oy_ref)
+    bx = _rows(bx_ref)
+    by = _rows(by_ref)
+    dx = _sub_t(ox, bx)
+    dy = _sub_t(oy, by)
+    zz = _mul_t(dx, dx)
+    zzz = _mul_t(zz, dx)
+    x3 = _sub_t(_mul_t(dy, dy), _mul_t(_add_t(ox, bx), zz))
+    y3 = _sub_t(_mul_t(dy, _sub_t(_mul_t(bx, zz), x3)), _mul_t(by, zzz))
+    x_ref[:, 0] = _stack(x3)
+    y_ref[:, 0] = _stack(y3)
+    zz_ref[:, 0] = _stack(zz)
+    zzz_ref[:, 0] = _stack(zzz)
+
+
+@functools.lru_cache(maxsize=4)
+def _seq_madd_call(nb: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile = pl.BlockSpec((16, 1, 8, 128), lambda i: (0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((16, 8, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    t4 = jax.ShapeDtypeStruct((16, nb, 8, 128), jnp.uint32)
+    return pl.pallas_call(
+        _seq_madd_kernel,
+        grid=(nb,),
+        in_specs=[tile, tile, const, const],
+        out_specs=[tile] * 4,
+        out_shape=[t4] * 4,
+        interpret=interpret,
+    )
+
+
+def seq_madd_pallas(offx, offy, bx16, by16, interpret: bool = False):
+    """(16, nb, 8, 128) offset tables + (16,) base limb arrays ->
+    (X3, Y3, ZZ, ZZZ) stacks for the shared inversion/affine tail."""
+    nb = offx.shape[1]
+    bx = jnp.broadcast_to(jnp.asarray(bx16)[:, None, None], (16, 8, 128))
+    by = jnp.broadcast_to(jnp.asarray(by16)[:, None, None], (16, 8, 128))
+    return _seq_madd_call(nb, interpret)(offx, offy, bx, by)
+
+
 def use_pallas_inv() -> bool:
     """Pallas inversion+affine on Mosaic-capable backends (the XLA graph
     version cold-compiles for ~30 minutes; this compiles in seconds)."""
