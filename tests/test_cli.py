@@ -83,6 +83,8 @@ def test_help_surfaces(runner):
         assert r.exit_code == 0
 
 
+@pytest.mark.slow   # XLA:CPU compile mass gates the fast tier's
+# wall clock (200-340s each cold); the default TPU tier runs these
 def test_scan_checkpoint_manifest(runner, tmp_path):
     """scan --checkpoint writes a manifest covering the whole range; a rerun
     with the same manifest reprocesses nothing."""
@@ -105,6 +107,8 @@ def test_scan_checkpoint_manifest(runner, tmp_path):
     assert "Inputs: 0," in r2.output  # fully resumed
 
 
+@pytest.mark.slow   # XLA:CPU compile mass gates the fast tier's
+# wall clock (200-340s each cold); the default TPU tier runs these
 def test_generate_output_file_closed(runner, tmp_path):
     out_path = tmp_path / "keys.txt"
     r = runner.invoke(cli, ["generate", "--transform", "direct", "--batch", "512",

@@ -143,6 +143,8 @@ def test_tail_batch_masking(deriver):
     assert lines[-1].startswith("136,")
 
 
+@pytest.mark.slow   # XLA:CPU compile mass gates the fast tier's
+# wall clock (200-340s each cold); the default TPU tier runs these
 def test_hit_overflow_batch_loses_none(deriver):
     """>256 device hits in one superbatch must all be confirmed (r1 VERDICT:
     MAX_HITS_PER_BATCH truncation silently dropped hits)."""

@@ -156,6 +156,8 @@ def test_electrum_over_timestamps_recovers_planted_key():
     assert derived.p2pkh_uncompressed in text
 
 
+@pytest.mark.slow   # XLA:CPU compile mass gates the fast tier's
+# wall clock (200-340s each cold); the default TPU tier runs these
 def test_electrum_over_range_generate_emits_keys():
     import io
 
