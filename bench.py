@@ -164,11 +164,19 @@ def main():
         overlay = None
         if mode == "xla":
             timeout_s = min(remaining, _XLA_CAP_S)
+            # ALWAYS pin the insurance stage to its fast 2^18 batch — an
+            # operator's VUKE_BENCH_BATCH (meant for the tiled stages)
+            # must not leak into it (2^19 measured 318s cold for a lower
+            # rate); VUKE_XLA_BENCH_BATCH overrides deliberately
             overlay = {"VUKE_BENCH_BATCH":
-                       os.environ.get("VUKE_BENCH_BATCH", str(_XLA_BATCH))}
-        elif mode == first_tiled and remaining - _INSURANCE_RESERVE_S > 400.0:
-            # hold back the insurance slice so a blown compile window on
-            # the headline stage still leaves a funded retry
+                       os.environ.get("VUKE_XLA_BENCH_BATCH",
+                                      str(_XLA_BATCH))}
+        elif not tiled_ok and remaining - _INSURANCE_RESERVE_S >= 120.0:
+            # until SOME tiled stage has produced a headline number, hold
+            # the insurance slice back from EVERY stage — round 3's retry
+            # could never fire because the timed-out stage had consumed
+            # the whole budget, and reserving only on the first tiled
+            # stage still let the next stage eat the slice
             timeout_s = remaining - _INSURANCE_RESERVE_S
         else:
             timeout_s = remaining

@@ -68,15 +68,16 @@ def test_stage_subprocess_produces_parseable_result():
     compiles are shared with the rest of the fast tier via the persistent
     cache."""
     import subprocess
+
+    from vuke_tpu._cache import apply_cpu_compile_flags
+
+    # force the host platform: this is a harness smoke, it must never
+    # contend for the single shared TPU; fresh subprocess so the env var
+    # IS honored.  The canonical compile-speed flags (idempotent — they
+    # may already be in XLA_FLAGS from conftest) keep XLA:CPU quick.
+    apply_cpu_compile_flags()
     env = dict(os.environ, VUKE_BENCH_BATCH="2048", VUKE_BENCH_SECONDS="1",
-               # force the host platform: this is a harness smoke, it must
-               # never contend for the single shared TPU; fresh subprocess
-               # so the env var IS honored, and the fast tier's compile-
-               # speed flags keep XLA:CPU quick
-               JAX_PLATFORMS="cpu",
-               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
-                          " --xla_cpu_max_isa=AVX2"
-                          " --xla_backend_optimization_level=1").strip())
+               JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         [sys.executable, "-m", "vuke_tpu._bench_stage", "xla"],
         cwd=_REPO, env=env, capture_output=True, text=True, timeout=900)

@@ -10,7 +10,8 @@ measurement is honestly cold while the production .jax_cache stays
 untouched) and prints a per-unit wall-time table.
 
 Usage:  python tools/profile_compile.py [--batch 524288] [--units mt,smul,...]
-Units:  mt, recode, smul, inv_affine, hash160, full
+Units:  mt, recode, smul, inv_affine (XLA graph, forced via
+        VUKE_TPU_PALLAS_INV=0), inv_affine_pallas, hash160, full
 (`full` is the entire bench_derive step — 26-33 min cold; off by default.)
 
 Output: one JSON line per unit on stdout; progress on stderr.
@@ -100,10 +101,24 @@ def main():
                   lambda d: call(d, tab),
                   S((windows, nb, 8, 128), u32))
         elif unit == "inv_affine":
-            from vuke_tpu.ecc.tiled import _affine16
-            timed("inversion+affine_xla",
+            # force the XLA graph branch — since ecc/pallas_inv.py,
+            # _affine16 dispatches to the (seconds-fast) Pallas kernels on
+            # Mosaic backends and would misreport the XLA cliff as gone
+            os.environ["VUKE_TPU_PALLAS_INV"] = "0"
+            try:
+                from vuke_tpu.ecc.tiled import _affine16
+                timed("inversion+affine_xla",
+                      lambda X, Y, ZZ, ZZZ: tuple(
+                          jnp.stack(r, 0) for r in _affine16(X, Y, ZZ, ZZZ)),
+                      *[S((16, nb, 8, 128), u32)] * 4)
+            finally:
+                del os.environ["VUKE_TPU_PALLAS_INV"]
+        elif unit == "inv_affine_pallas":
+            from vuke_tpu.ecc.pallas_inv import affine16_pallas
+            timed("inversion+affine_pallas",
                   lambda X, Y, ZZ, ZZZ: tuple(
-                      jnp.stack(r, 0) for r in _affine16(X, Y, ZZ, ZZZ)),
+                      jnp.stack(r, 0)
+                      for r in affine16_pallas(X, Y, ZZ, ZZZ)),
                   *[S((16, nb, 8, 128), u32)] * 4)
         elif unit == "hash160":
             from vuke_tpu.cores.pallas_kernels import _hash160_call

@@ -17,7 +17,11 @@
 set -e
 cd "$(dirname "$0")/.."
 
-for mode in xla tiled_odd tiled_seq tiled_signed; do
+# usage: warm_bench_cache.sh [stage ...]   (default: every driver stage)
+stages=("$@")
+[ ${#stages[@]} -eq 0 ] && stages=(xla tiled_odd tiled_seq tiled_signed)
+
+for mode in "${stages[@]}"; do
   if [ "$mode" = xla ]; then
     batch=262144           # bench.py pins the insurance stage to 2^18
   else
