@@ -277,8 +277,15 @@ def _run_forward(params, source, matcher):
         # bar, matching the reference's per-source indicatif spinners
         progress = Progress(total=None, label=label)
 
+    batch = params.get("batch", 1 << 16)
+    if ranged and total < batch:
+        # a superbatch larger than the range derives dead lanes (validity
+        # masks inputs, not compute): a 4096-seed scan at the 65536
+        # default burned ~4 minutes of pure wasted ECC on the CPU
+        # backend.  Clamp to the range, tile-aligned for the Pallas path.
+        batch = max(1024, -(-total // 1024) * 1024)
     fwd = ForwardDriver(specs, matcher, out, deriver,
-                        batch=params.get("batch", 1 << 16), progress=progress)
+                        batch=batch, progress=progress)
     sd = StringDriver(specs, matcher, out, deriver, progress=progress)
 
     ckpt = None
@@ -389,38 +396,48 @@ def warmup(transforms, batch):
     """
     import time as _time
 
-    import numpy as _np
+    import jax as _jax
+    import jax.numpy as _jnp
 
     from .matcher import DeviceTargetSet, Matcher
-    from .pipeline import DEFAULT_BATCH, DeriveMatcher, ScanProgram
+    from .pipeline import DEFAULT_BATCH, DeriveMatcher, _keygen_program
     from .transforms import parse_transform
 
     b = batch or DEFAULT_BATCH
+    S = _jax.ShapeDtypeStruct
+    u32 = _jnp.uint32
     matcher = Matcher.from_addresses(["1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH"])
     dm = DeriveMatcher(DeviceTargetSet(matcher.targets), collect_keys=False)
+    pool_avals = tuple(S(p.shape, p.dtype) for p in dm._pool_args)
+
+    # AOT-lower + compile (no execution: one full-batch ECC derive runs
+    # ~4.5 min on the CPU backend — the compile is what we're here for;
+    # compiled programs land in the persistent cache either way)
+    t0 = _time.time()
+    dm._fn.lower(S((b, 8), u32), S((b,), _jnp.bool_),
+                 *pool_avals).compile()
+    click.echo(f"warmed derive+match (batch {b}, shared by all numeric "
+               f"transforms): {_time.time() - t0:.1f}s", err=True)
+
     for t in transforms:
         spec = parse_transform(t)
         if spec.numeric is None:
             click.echo(f"skipping {t}: string transform (host path)", err=True)
             continue
+        if getattr(spec.numeric, "host_only", False):
+            click.echo(f"skipping {t}: host-only transform", err=True)
+            continue
         t0 = _time.time()
-        sp = ScanProgram(spec, dm, batch=b)
-        for r in sp.run(1 << 20):
-            if "count" in r:
-                _np.asarray(r["count"])           # force compile + run
+        kg = _keygen_program(spec.numeric)
+        kg.lower(S((), u32), S((), u32), S((), u32), S((b,), u32)).compile()
         # the singleton hit-confirm program (_derive_seed_slot) only
         # compiles on the FIRST HIT — precompile it too, or a planted-hit
         # scan still pays a cold compile at the worst moment
-        if not getattr(spec.numeric, "host_only", False):
-            import jax as _jax
-            import jax.numpy as _jnp
-            one = _jnp.asarray(_np.array([1], dtype=_np.uint32))
-            fn = _jax.jit(spec.numeric.fn)
-            keys, _valid = fn(one, one)
-            _np.asarray(keys[0, 0, 0])
-            spec.numeric._compiled_single = fn
-        click.echo(f"warmed {t} (batch {b}): {_time.time() - t0:.1f}s",
-                   err=True)
+        fn = _jax.jit(spec.numeric.fn)
+        fn.lower(S((1,), u32), S((1,), u32)).compile()
+        spec.numeric._compiled_single = fn
+        click.echo(f"warmed {t} keygen + hit-confirm: "
+                   f"{_time.time() - t0:.1f}s", err=True)
 
 
 @cli.command("single")
