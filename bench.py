@@ -48,8 +48,11 @@ sys.path.insert(0, _REPO)
 
 # The headline stage list. xla is the cheap-to-compile guaranteed first
 # line; tiled_odd is the measured-best kernel (docs/batch_sweep_tpu.json)
-# and must come before every other tiled mode.
-DEFAULT_STAGES = "xla,tiled_odd,tiled_seq,tiled_signed"
+# and must come before every other tiled mode.  tiled_signed is opt-in
+# diversity (VUKE_BENCH_STAGES): committed sweep data has it ~10% below
+# odd digits, and re-measuring it burned 146s of the round-4 driver
+# budget for a number the sweep already predicted (VERDICT r4, weak #4).
+DEFAULT_STAGES = "xla,tiled_odd,tiled_seq"
 
 # Budget (seconds) held back from the FIRST tiled stage so the insurance
 # retry can actually fire if that stage blows its window: round 3's retry

@@ -128,8 +128,12 @@ REMEMBERED_ADDRESSES = {
 REVEALED_PUBKEYS = {
     135: ("02145d2611c823a396ef6712ce0f712f09b9b4f3135e3e0aa3230fb9b6d08d1e16",
           "16RGFo6hjq9ym6Pj7N5H7L1NR1rVPJyw2v"),
+    # 140's recalled tail was corrupt ("...moZxiiug8T9Rs8eJJZqBBAccyRqU");
+    # the pubkey-derived address was confirmed against the publicly known
+    # #140 address in external review (ADVICE.md round 4) — remembered
+    # value corrected to the confirmed string so it cross-validates
     140: ("031f6a332d3c5c4f2de2378c012f429cd109ba07d69690c6c701b6bb87860d6640",
-          "1QKBaUmoZxiiug8T9Rs8eJJZqBBAccyRqU"),
+          "1QKBaU6WAeycb3DbKbLBkX7vJiaS8r42Xo"),
     145: ("03afdda497369e219a2c1c369954a930e4d3740968e5e4352475bcffce3140dae5",
           "19GpszRNUej5yYqxXoLnbZWKew3KdVLkXg"),
     150: ("03137807790ea7dc6e97901c2bc87411f45ed74a5629315c4e4b03a0a102250c49",
@@ -206,11 +210,14 @@ def build_b1000(deriver: KeyDeriver):
             elif derived == remembered and _checksum_ok(remembered):
                 entry.update(address=remembered, pubkey=pub_hex,
                              provenance="pubkey-cross-validated")
-            elif len(prefix) >= 6:
+            elif len(prefix) >= 7:
                 # the recalled string's TAIL is corrupted (its checksum may
-                # even fail) but a >= 6-char base58 prefix match against an
-                # independently derived address is a ~2^-35 coincidence for
-                # a wrong pubkey — ship the self-consistent derived address
+                # even fail) but a 7-char base58 prefix match — 6 varying
+                # chars after the constant P2PKH '1' version char, ~2^-35 —
+                # against an independently derived address is no coincidence
+                # for a wrong pubkey: ship the self-consistent derived
+                # address.  (The constant '1' carries no evidence and is
+                # excluded from the bit count.)
                 print(f"WARN: b1000/{n}: recalled address tail corrupt "
                       f"({remembered}); prefix '{prefix}' matches — shipping "
                       f"pubkey-derived {derived}", file=sys.stderr)

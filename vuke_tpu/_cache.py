@@ -63,7 +63,10 @@ def strip_mosaic_locations() -> None:
         if getattr(orig, "_vuke_strips_locations", False):
             return
 
-        def stripped_lower(module, *, ir_version=None):
+        def stripped_lower(module, *args, **kwargs):
+            # forward *args/**kwargs verbatim so a jax upgrade that changes
+            # _lower_mosaic_module_to_asm's keyword surface degrades to
+            # unstripped lowering instead of a TypeError at compile time
             try:
                 with module.context:
                     cloned = module.operation.clone()
@@ -72,7 +75,7 @@ def strip_mosaic_locations() -> None:
                     module = type_cast(ir.Module, cloned)
             except Exception:
                 pass  # fall through with the original (located) module
-            return orig(module, ir_version=ir_version)
+            return orig(module, *args, **kwargs)
 
         stripped_lower._vuke_strips_locations = True
         tcc._lower_mosaic_module_to_asm = stripped_lower
@@ -97,8 +100,12 @@ def apply_cpu_compile_flags() -> None:
 
     Safe to call after jax is (pre)imported: XLA_FLAGS is parsed when the
     CPU client initializes, which happens on first device use."""
+    import platform
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_cpu_max_isa" not in flags:
+    # the ISA pin is an x86-ism; on aarch64 hosts XLA:CPU would at best
+    # ignore and at worst reject it
+    if ("xla_cpu_max_isa" not in flags
+            and platform.machine().lower() in ("x86_64", "amd64")):
         flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
     if "xla_backend_optimization_level" not in flags:
         flags = (flags + " --xla_backend_optimization_level=1").strip()

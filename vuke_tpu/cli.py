@@ -56,8 +56,9 @@ def _common_run_options(f):
         click.option("--iceberg-catalog", envvar="ICEBERG_CATALOG", default=None),
         click.option("--iceberg-namespace", envvar="ICEBERG_NAMESPACE", default="vuke"),
         click.option("--iceberg-table", envvar="ICEBERG_TABLE", default="results"),
-        click.option("--batch", default=1 << 16, type=int,
-                     help="Device superbatch size (seeds per dispatch)"),
+        click.option("--batch", default=None, type=int,
+                     help="Device superbatch size (seeds per dispatch; "
+                          "default 65536, clamped to small ranges)"),
         click.option("--checkpoint", "checkpoint_path", type=click.Path(),
                      default=None,
                      help="Manifest path for durable scan progress: completed "
@@ -118,16 +119,26 @@ def _source_commands(group, runner):
         runner(ctx.parent.params, src)
 
 
+# subcommands that never touch a device: the group callback must not
+# import jax for them (vuke single is pure host code and the ./vuke
+# launcher runs it under `python -S` with jax never loaded)
+_HOST_ONLY_COMMANDS = {"single", "query"}
+
+
 @click.group()
 @click.option("--no-tpu", is_flag=True,
               help="Run on the CPU backend (the reference's --no-gpu analogue)")
-def cli(no_tpu):
+@click.pass_context
+def cli(ctx, no_tpu):
     """TPU-native weak-Bitcoin-key search framework (vuke capability surface)."""
-    from ._cache import enable_compile_cache
     from .telemetry import setup_logging
 
-    enable_compile_cache()
     setup_logging()
+    if ctx.invoked_subcommand in _HOST_ONLY_COMMANDS:
+        return
+    from ._cache import enable_compile_cache
+
+    enable_compile_cache()
     if no_tpu:
         from ._cache import apply_cpu_compile_flags
 
@@ -246,7 +257,7 @@ def _run_forward(params, source, matcher):
     import dataclasses
 
     from .derive import KeyDeriver
-    from .pipeline import ForwardDriver, ProcessStats, StringDriver
+    from .pipeline import DEFAULT_BATCH, ForwardDriver, ProcessStats, StringDriver
     from .progress import Progress
     from .telemetry import profile_trace
     from .parallel.multihost import maybe_initialize_distributed, partition_range
@@ -277,13 +288,18 @@ def _run_forward(params, source, matcher):
         # bar, matching the reference's per-source indicatif spinners
         progress = Progress(total=None, label=label)
 
-    batch = params.get("batch", 1 << 16)
+    explicit_batch = params.get("batch") is not None
+    batch = params.get("batch") or DEFAULT_BATCH
     if ranged and total < batch:
         # a superbatch larger than the range derives dead lanes (validity
         # masks inputs, not compute): a 4096-seed scan at the 65536
         # default burned ~4 minutes of pure wasted ECC on the CPU
         # backend.  Clamp to the range, tile-aligned for the Pallas path.
-        batch = max(1024, -(-total // 1024) * 1024)
+        clamped = max(1024, -(-total // 1024) * 1024)
+        if explicit_batch:
+            click.echo(f"note: --batch {batch} exceeds the {total}-seed "
+                       f"range; clamping to {clamped}", err=True)
+        batch = clamped
     fwd = ForwardDriver(specs, matcher, out, deriver,
                         batch=batch, progress=progress)
     sd = StringDriver(specs, matcher, out, deriver, progress=progress)
@@ -302,7 +318,7 @@ def _run_forward(params, source, matcher):
     with profile_trace():
         if ckpt is not None:
             stats = ProcessStats()
-            chunk = max(params.get("batch", 1 << 16) * 16, 1)
+            chunk = max(batch * 16, 1)
             for s, e in ckpt.pending_ranges(source.start, source.end):
                 pos = s
                 while pos <= e:

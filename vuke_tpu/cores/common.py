@@ -14,9 +14,11 @@ big-endian order.  Hex of the key = concatenation of ``%08x`` of each word.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+from .._lazy import jnp
 
-U32 = jnp.uint32
+# numpy's uint32 is dtype-equivalent to jnp.uint32 everywhere it is used
+# (astype/asarray dtype args) and keeps this module importable without jax
+U32 = np.uint32
 
 MASK16 = np.uint32(0xFFFF)
 MASK32 = np.uint32(0xFFFFFFFF)

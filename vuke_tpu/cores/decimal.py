@@ -12,7 +12,7 @@ lengths (variable-length single-block hashing).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+from .._lazy import jnp
 
 from .common import mul_hi32, u64_add
 from .sha256 import compress as sha256_compress, IV as SHA256_IV

@@ -15,7 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import jax.numpy as jnp
+from .._lazy import jnp
 
 from .common import byteswap32, mul_hi32
 

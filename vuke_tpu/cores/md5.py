@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import jax.numpy as jnp
+from .._lazy import jnp
 
 from .common import loop_unroll, rotl32, u32
 

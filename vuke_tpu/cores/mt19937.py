@@ -17,8 +17,7 @@ state words ``i``, ``i+1`` and ``i+397`` only.
 from __future__ import annotations
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+from .._lazy import jax, jnp
 
 from .common import (
     byteswap32, loop_unroll, u32, u64_add_const, u64_mul_const_lo, u64_shr,

@@ -10,7 +10,7 @@ derivation (/root/reference/src/derive.rs:111-118).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+from .._lazy import jnp
 
 from .common import loop_unroll, rotl32, u32
 

@@ -16,7 +16,7 @@ Reference behavior mirrored: vuke's sha2-crate usage in
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+from .._lazy import jnp
 
 from .common import loop_unroll, rotr32, u32
 

@@ -16,7 +16,7 @@ chain stays in-lane and fuses.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+from .._lazy import jnp
 
 from .common import byteswap32
 from .sha256 import sha256_words

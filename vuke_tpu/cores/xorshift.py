@@ -12,7 +12,7 @@ All math in uint32 lanes; u64 values as (hi, lo) pairs.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+from .._lazy import jnp
 
 from .common import (
     u64_add, u64_const, u64_mul_const_lo, u64_mul_lo, u64_rotl, u64_shl,

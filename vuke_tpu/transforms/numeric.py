@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 from typing import Callable, List
 
 import numpy as np
-import jax.numpy as jnp
+from .._lazy import jnp
 
 from ..cores import decimal, lcg as lcg_core, mt19937, sha256_chain as chain_core, xorshift as xs_core
 from ..cores.common import byteswap32

@@ -13,8 +13,7 @@ from dataclasses import dataclass
 from typing import Callable, List, Sequence
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+from .._lazy import jax, jnp
 
 from ..cores import md5 as md5_core, sha256 as sha256_core
 from ..cores.common import byteswap32
@@ -60,19 +59,22 @@ def _host_digest(datas: Sequence[bytes], algo: str) -> np.ndarray:
         for d in datas])
 
 
-@jax.jit
-def _sha256_jit(blocks):
-    return sha256_core.sha256_blocks(blocks)
+import functools
 
 
-@jax.jit
-def _sha256d_jit(blocks):
-    return sha256_key_words(sha256_core.sha256_blocks(blocks))
+@functools.cache
+def _sha256_jit():
+    return jax.jit(lambda blocks: sha256_core.sha256_blocks(blocks))
 
 
-@jax.jit
-def _md5_jit(blocks):
-    return md5_core.md5_blocks(blocks)
+@functools.cache
+def _sha256d_jit():
+    return jax.jit(lambda blocks: sha256_key_words(sha256_core.sha256_blocks(blocks)))
+
+
+@functools.cache
+def _md5_jit():
+    return jax.jit(lambda blocks: md5_core.md5_blocks(blocks))
 
 
 def batched_digest(datas: Sequence[bytes], algo: str) -> np.ndarray:
@@ -89,12 +91,12 @@ def batched_digest(datas: Sequence[bytes], algo: str) -> np.ndarray:
         out = np.zeros((len(datas), 4), dtype=np.uint32)
         nb = lambda n: (n + 9 + 63) // 64
         pad = md5_core.pad_message
-        jit = _md5_jit
+        jit = _md5_jit()
     else:
         out = np.zeros((len(datas), 8), dtype=np.uint32)
         nb = lambda n: (n + 9 + 63) // 64
         pad = sha256_core.pad_message
-        jit = _sha256_jit if algo == "sha256" else _sha256d_jit
+        jit = (_sha256_jit if algo == "sha256" else _sha256d_jit)()
     for nblocks, idxs in _bucket_indices(datas, nb).items():
         blocks = np.stack([pad(datas[i]) for i in idxs])
         assert blocks.shape[1] == nblocks
@@ -114,8 +116,9 @@ def batched_digest(datas: Sequence[bytes], algo: str) -> np.ndarray:
 def _digest_to_key_words(dig: np.ndarray, algo: str) -> np.ndarray:
     if algo == "md5":
         # 16-byte digest duplicated to 32 (transform/md5.rs:17-21);
-        # key BE words = byteswap of LE digest words
-        be = np.asarray(byteswap32(jnp.asarray(dig)))
+        # key BE words = byteswap of LE digest words.  Digests are host
+        # arrays at this point — plain numpy, no device round-trip.
+        be = np.asarray(dig, dtype=np.uint32).byteswap()
         return np.concatenate([be, be], axis=-1)
     return dig
 

@@ -115,7 +115,7 @@ def armory_spec() -> TransformSpec:
 
     # numeric path: host fallback via NumericHostTransform-style adapter
     from .numeric import NumericTransform
-    import jax.numpy as jnp
+    from .._lazy import jnp
 
     def numeric_fn(hi, lo):
         # host roundtrip: armory needs EC math per input; done via callback
