@@ -12,7 +12,14 @@ import time (tests/test_host_fast.py pins the jax-free import chain).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import importlib
+
+# when set, the proxies resolve to the numpy shim (vuke_tpu/_npshim.py)
+# instead of jax — eager numpy execution of the transform cores
+_np_mode: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "vuke_numpy_backend", default=False)
 
 
 class _LazyModule:
@@ -32,7 +39,26 @@ class _LazyModule:
         return mod
 
     def __getattr__(self, attr):
+        if _np_mode.get():
+            from . import _npshim
+            name = object.__getattribute__(self, "_name")
+            shim = _npshim.jnp_shim if name == "jax.numpy" else _npshim.jax_shim
+            return getattr(shim, attr)
         return getattr(self._load(), attr)
+
+
+@contextlib.contextmanager
+def numpy_backend():
+    """Execute transform-core code in eager numpy (no jax, no compile).
+
+    Only valid around code written against these lazy proxies (cores/*,
+    transforms/numeric.py); inside the context, ``jnp.*`` is numpy and
+    ``jax.lax.*`` is the shim's python-loop emulation."""
+    token = _np_mode.set(True)
+    try:
+        yield
+    finally:
+        _np_mode.reset(token)
 
 
 jax = _LazyModule("jax")

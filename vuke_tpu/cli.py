@@ -424,16 +424,26 @@ def warmup(transforms, batch):
     u32 = _jnp.uint32
     matcher = Matcher.from_addresses(["1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH"])
     dm = DeriveMatcher(DeviceTargetSet(matcher.targets), collect_keys=False)
-    pool_avals = tuple(S(p.shape, p.dtype) for p in dm._pool_args)
-
-    # AOT-lower + compile (no execution: one full-batch ECC derive runs
-    # ~4.5 min on the CPU backend — the compile is what we're here for;
-    # compiled programs land in the persistent cache either way)
-    t0 = _time.time()
-    dm._fn.lower(S((b, 8), u32), S((b,), _jnp.bool_),
-                 *pool_avals).compile()
-    click.echo(f"warmed derive+match (batch {b}, shared by all numeric "
-               f"transforms): {_time.time() - t0:.1f}s", err=True)
+    if dm._native:
+        # CPU backends derive through the native C++ pipeline — nothing to
+        # compile; warm only its one-time window-table build (~100 ms)
+        t0 = _time.time()
+        from . import native as _native
+        import numpy as _np
+        _native.batch_derive_h160(_np.ones((64, 8), dtype=_np.uint32))
+        click.echo(f"native derive path active; table build "
+                   f"{_time.time() - t0:.1f}s (no XLA derive compile needed)",
+                   err=True)
+    else:
+        pool_avals = tuple(S(p.shape, p.dtype) for p in dm._pool_args)
+        # AOT-lower + compile (no execution: one full-batch ECC derive runs
+        # ~4.5 min on the CPU backend — the compile is what we're here for;
+        # compiled programs land in the persistent cache either way)
+        t0 = _time.time()
+        dm._fn.lower(S((b, 8), u32), S((b,), _jnp.bool_),
+                     *pool_avals).compile()
+        click.echo(f"warmed derive+match (batch {b}, shared by all numeric "
+                   f"transforms): {_time.time() - t0:.1f}s", err=True)
 
     for t in transforms:
         spec = parse_transform(t)

@@ -196,5 +196,5 @@ def loop_unroll(tpu_unroll: int) -> int:
     accelerators (amortizes per-step scan overhead), 1 on XLA:CPU — the
     fast test tier's wall clock is LLVM compiling the unrolled bodies,
     and hot-loop runtime on CPU is irrelevant there."""
-    import jax
+    from .._lazy import jax
     return 1 if jax.devices()[0].platform == "cpu" else tpu_unroll

@@ -38,7 +38,7 @@ def compress(state, m, unroll: bool = False):
     """One MD5 compression (rolled 64-iteration loop by default)."""
     if unroll:
         return _compress_unrolled(state, m)
-    import jax
+    from .._lazy import jax
 
     M = jnp.stack(list(m), axis=0)
     K = jnp.asarray(_K)

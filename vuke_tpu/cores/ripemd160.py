@@ -75,7 +75,7 @@ def _rotl_var(x, n):
 
 
 def _f_switch(rnd, x, y, z):
-    import jax
+    from .._lazy import jax
     return jax.lax.switch(rnd, [
         lambda x, y, z: x ^ y ^ z,
         lambda x, y, z: (x & y) | (~x & z),
@@ -90,7 +90,7 @@ def compress(state, m, unroll: bool = False):
     compiles ~50x smaller, see sha256.compress)."""
     if unroll:
         return _compress_unrolled(state, m)
-    import jax
+    from .._lazy import jax
 
     M = jnp.stack(list(m), axis=0)  # (16, ...batch)
     RL = jnp.asarray(np.array(_RL, dtype=np.int32))

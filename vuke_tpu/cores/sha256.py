@@ -54,7 +54,7 @@ def compress(state, w16, unroll: bool = False):
     """
     if unroll:
         return _compress_unrolled(state, w16)
-    import jax
+    from .._lazy import jax
 
     W0 = jnp.stack(list(w16), axis=0)           # (16, ...batch)
     K = jnp.asarray(_K)

@@ -43,6 +43,20 @@ def normalize_key(key: bytes) -> bytes:
     return v.to_bytes(32, "big")
 
 
+def _pubkey_point(k: int, key: bytes):
+    """Public point for a normalized key: native C++ fixed-window ladder
+    when available (~10us), pure-Python bignum otherwise (~10ms — the
+    pre-native generate+storage path spent ~15ms/record here).  Parity is
+    pinned in tests/test_native_ecc.py."""
+    from . import native
+
+    pub = (native.pubkey_uncompressed(key)
+           if native.available_now() and native.has_pubkey() else None)
+    if pub is not None and len(pub) == 65 and pub[0] == 4:
+        return int.from_bytes(pub[1:33], "big"), int.from_bytes(pub[33:65], "big")
+    return ref.point_mul(k)
+
+
 class KeyDeriver:
     """Converts 32-byte keys to every address/string format."""
 
@@ -52,7 +66,7 @@ class KeyDeriver:
     def derive(self, key: bytes) -> DerivedKey:
         key = normalize_key(key)
         k = int.from_bytes(key, "big")
-        x, y = ref.point_mul(k)
+        x, y = _pubkey_point(k, key)
         comp = bytes([2 + (y & 1)]) + x.to_bytes(32, "big")
         uncomp = b"\x04" + x.to_bytes(32, "big") + y.to_bytes(32, "big")
 

@@ -127,7 +127,8 @@ class DeviceTargetSet:
             hi = np.full(DeviceTargetSet.MIN_POOL, 0xFFFFFFFF, dtype=np.uint32)
             lo = np.full(DeviceTargetSet.MIN_POOL, 0xFFFFFFFF, dtype=np.uint32)
             return {"hi": jnp.asarray(hi), "lo": jnp.asarray(lo), "window": 4,
-                    "n": DeviceTargetSet.MIN_POOL, "real": 0}
+                    "n": DeviceTargetSet.MIN_POOL, "real": 0,
+                    "host": np.zeros(0, dtype=np.uint64)}
         frags = sorted(set(frags))
         n = len(frags)
         padded = DeviceTargetSet.MIN_POOL
@@ -151,6 +152,10 @@ class DeviceTargetSet:
             "window": max(4, int(best)),
             "n": padded,
             "real": n,
+            # host-side u64 pool (real entries only) for the native CPU
+            # derive path — no padding/window machinery needed off-device
+            "host": np.array([(f[0] << 32) | f[1] for f in frags],
+                             dtype=np.uint64),
         }
 
     @staticmethod
@@ -181,6 +186,21 @@ class DeviceTargetSet:
     def match_uncompressed(self, frag_hi, frag_lo):
         return self._lookup(self._uncomp["hi"], self._uncomp["lo"],
                             self._uncomp["window"], frag_hi, frag_lo)
+
+    def host_match(self, frag_c_u64: np.ndarray, frag_u_u64: np.ndarray):
+        """Numpy-side candidate mask for the native CPU derive path: exact
+        membership of the 8-byte fragments in either pool (same contract as
+        the device lookups; the host string confirm filters the rest)."""
+
+        def member(pool, frags):
+            if pool.size == 0:
+                return np.zeros(frags.shape, dtype=bool)
+            pos = np.searchsorted(pool, frags, side="left")
+            pos = np.minimum(pos, pool.size - 1)
+            return pool[pos] == frags
+
+        return (member(self._comp["host"], frag_c_u64)
+                | member(self._uncomp["host"], frag_u_u64))
 
     @property
     def empty(self) -> bool:

@@ -50,6 +50,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.vuke_b58check_encode.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                              ctypes.c_char_p, ctypes.c_int]
         lib.vuke_b58check_encode.restype = ctypes.c_int
+        try:
+            lib.vuke_batch_derive_h160.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+            lib.vuke_batch_pubkey.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_char_p]
+        except AttributeError:
+            pass  # stale .so without the ECC unit; derive path unavailable
         _lib = lib
     except OSError:
         _lib = None
@@ -92,3 +101,63 @@ def batch_wif(keys: bytes, n: int, version: int = 0x80,
     raw = out.raw
     return [raw[i * _STRIDE:(i + 1) * _STRIDE].split(b"\x00", 1)[0].decode()
             for i in range(n)]
+
+
+def has_derive() -> bool:
+    """True when the native secp256k1 batch deriver is loadable."""
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "vuke_batch_derive_h160")
+
+
+def batch_derive_h160(keys_words, threads: int = 0):
+    """(N, 8) big-endian u32 word keys -> (norm_words, h160c_bytes,
+    h160u_bytes) via the native secp256k1 pipeline (native/vuke_ecc.cpp),
+    or None when the library is unavailable.
+
+    norm_words: (N, 8) BE u32 of the mod-n normalized keys;
+    h160*_bytes: N*20 contiguous digest bytes (hash160 byte order)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "vuke_batch_derive_h160"):
+        return None
+    keys_np = np.ascontiguousarray(np.asarray(keys_words, dtype=np.uint32))
+    n = keys_np.shape[0]
+    if n == 0:
+        return (keys_np, b"", b"")
+    kb = keys_np.astype(">u4").tobytes()
+    h160c = ctypes.create_string_buffer(20 * n)
+    h160u = ctypes.create_string_buffer(20 * n)
+    norm = ctypes.create_string_buffer(32 * n)
+    lib.vuke_batch_derive_h160(kb, n, threads, h160c, h160u, norm)
+    norm_words = np.frombuffer(norm.raw, dtype=">u4").reshape(n, 8).astype(np.uint32)
+    return norm_words, h160c.raw, h160u.raw
+
+
+def available_now() -> bool:
+    """True when the library is loaded or its .so already exists — a check
+    that never triggers a compiler build (latency-sensitive callers like
+    ``vuke single`` must not block on `make`)."""
+    return _lib is not None or os.path.exists(_SO_PATH)
+
+
+def has_pubkey() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "vuke_batch_pubkey")
+
+
+def batch_pubkey(keys: bytes, n: int, threads: int = 0):
+    """n*32 big-endian key bytes -> n*65 uncompressed pubkey bytes
+    (0x04||x||y; keys normalized mod n, zero -> 1), or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "vuke_batch_pubkey"):
+        return None
+    out = ctypes.create_string_buffer(65 * n)
+    lib.vuke_batch_pubkey(keys, n, threads, out, None)
+    return out.raw
+
+
+def pubkey_uncompressed(key: bytes):
+    """One 32-byte key -> 65-byte uncompressed pubkey, or None."""
+    out = batch_pubkey(key, 1, 1)
+    return None if out is None else out

@@ -116,11 +116,31 @@ def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: i
     return jax.jit(fn)
 
 
+def _native_derive_enabled() -> bool:
+    """Native C++ derive path on CPU backends (native/vuke_ecc.cpp).
+
+    The XLA:CPU fallback graph compiles ~160s and runs ~3ms/key — three
+    orders of magnitude off the reference's libsecp256k1-backed CPU path.
+    The native deriver starts instantly and runs ~0.1ms/key/core, so it is
+    the default wherever Pallas isn't (--no-tpu scans, CPU-only hosts).
+    VUKE_NATIVE_DERIVE=0 opts out (tests pin native == XLA parity)."""
+    import os
+    if os.environ.get("VUKE_NATIVE_DERIVE", "1") in ("0", "false", "no"):
+        return False
+    from .ecc.pubkey import use_pallas_default
+    if use_pallas_default():
+        return False
+    from . import native
+    return native.has_derive()
+
+
 class DeriveMatcher:
     """The shared hot program: (N, 8) keys -> hash160s -> match results.
 
     One compile per (mode, windows); every transform/slot/target-set
-    reuses it.
+    reuses it.  On CPU backends the program is the native C++ deriver
+    (no XLA compile at all); accelerator backends run the Pallas/XLA
+    device program.
     """
 
     def __init__(self, targets: Optional[DeviceTargetSet], collect_keys: bool,
@@ -130,14 +150,51 @@ class DeriveMatcher:
         self.inv_chunk = inv_chunk
         self.match = targets is not None and not targets.empty
         self._windows = targets.windows if self.match else (4, 4)
-        self._fn = _dm_program(self.match, collect_keys, inv_chunk, *self._windows)
+        self._native = _native_derive_enabled()
+        self._fn = (None if self._native else
+                    _dm_program(self.match, collect_keys, inv_chunk,
+                                *self._windows))
         if self.match:
             self._pool_args = targets.device_args()
         else:
             z = jnp.zeros(4, dtype=jnp.uint32)
             self._pool_args = (z, z, z, z)
 
+    # -- native (CPU) path --------------------------------------------------
+
+    def _run_native(self, keys, valid, full_mask: bool = False):
+        from . import native
+
+        keys_np = np.asarray(keys, dtype=np.uint32)
+        valid_np = np.asarray(valid)
+        n = keys_np.shape[0]
+        norm, h160c_b, h160u_b = native.batch_derive_h160(keys_np)
+        out = {"n_valid": valid_np.sum()}
+        if self.match:
+            fc = np.frombuffer(h160c_b, dtype=">u4").reshape(n, 5)
+            fu = np.frombuffer(h160u_b, dtype=">u4").reshape(n, 5)
+            frag_c = (fc[:, 0].astype(np.uint64) << np.uint64(32)) | fc[:, 1]
+            frag_u = (fu[:, 0].astype(np.uint64) << np.uint64(32)) | fu[:, 1]
+            m = self.targets.host_match(frag_c, frag_u) & valid_np
+            if full_mask:
+                out["mask"] = m
+            else:
+                idx = np.nonzero(m)[0]
+                out["count"] = np.int64(len(idx))
+                hit = np.full(MAX_HITS_PER_BATCH, 2**31 - 1, dtype=np.int64)
+                k = min(len(idx), MAX_HITS_PER_BATCH)
+                hit[:k] = idx[:k]
+                out["hit_idx"] = hit
+        if self.collect_keys:
+            out["keys"] = norm
+            out["h160c"] = np.frombuffer(h160c_b, dtype="<u4").reshape(n, 5)
+        return out
+
+    # -- device path --------------------------------------------------------
+
     def run(self, keys, valid):
+        if self._native:
+            return self._run_native(keys, valid)
         try:
             return self._fn(keys, valid, *self._pool_args)
         except Exception as e:  # Mosaic/Pallas compile or runtime failure
@@ -152,6 +209,8 @@ class DeriveMatcher:
 
     def run_mask(self, keys, valid):
         """Rare path: full (N,) match mask for overflowed batches."""
+        if self._native:
+            return self._run_native(keys, valid, full_mask=True)["mask"]
         fn = _dm_program(self.match, False, self.inv_chunk, *self._windows,
                          full_mask=True)
         return fn(keys, valid, *self._pool_args)["mask"]
@@ -215,11 +274,33 @@ def _sequential_enabled() -> bool:
     return use_pallas_default()
 
 
+def _numpy_keygen_enabled() -> bool:
+    """Eager numpy keygen on CPU backends: the transform cores are pure
+    elementwise math (vuke_tpu/_npshim.py), and executing them in numpy
+    skips XLA:CPU keygen compiles that cost minutes cold (a first
+    sha256-transform generate measured 6m35s of pure LLVM compile).
+    VUKE_NUMPY_KEYGEN=0 opts out (parity pinned per transform in
+    tests/test_numpy_backend.py)."""
+    import os
+    if os.environ.get("VUKE_NUMPY_KEYGEN", "1") in ("0", "false", "no"):
+        return False
+    from .ecc.pubkey import use_pallas_default
+    return not use_pallas_default()
+
+
+def _host_seed_split(start_hi, start_lo, offs):
+    offs_np = np.asarray(offs)
+    lo = np.uint64(int(start_lo)) + offs_np.astype(np.uint64)
+    hi = (np.uint64(int(start_hi)) + (lo >> np.uint64(32))).astype(np.uint32)
+    return offs_np, hi, (lo & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
 def _keygen_program(nt):
-    """Per-NumericTransform jitted keygen, cached *on the transform object*
+    """Per-NumericTransform keygen, cached *on the transform object*
     (a dead object's id can be reused by a fresh spec, so an id-keyed dict
     could serve a stale compiled closure).  Transforms marked ``host_only``
-    (EC-heavy wallet derivations) run eagerly on host.
+    (EC-heavy wallet derivations) run eagerly on host; on CPU backends all
+    transforms run eagerly in numpy (see _numpy_keygen_enabled).
     """
     fn = getattr(nt, "_compiled_batch", None)
     if fn is None:
@@ -231,13 +312,18 @@ def _keygen_program(nt):
 
         if getattr(nt, "host_only", False):
             def fn(start_hi, start_lo, limit, offs):
-                import numpy as _np
-                offs_np = _np.asarray(offs)
-                lo = (_np.uint64(int(start_lo)) + offs_np.astype(_np.uint64))
-                hi = (_np.uint64(int(start_hi)) + (lo >> _np.uint64(32))).astype(_np.uint32)
-                keys, valid = nt.fn(hi, (lo & _np.uint64(0xFFFFFFFF)).astype(_np.uint32))
+                offs_np, hi, lo32 = _host_seed_split(start_hi, start_lo, offs)
+                keys, valid = nt.fn(hi, lo32)
                 valid = np.asarray(valid) & (offs_np < int(limit))[:, None]
                 return jnp.asarray(keys), jnp.asarray(valid)
+        elif _numpy_keygen_enabled():
+            def fn(start_hi, start_lo, limit, offs):
+                from ._lazy import numpy_backend
+                offs_np, hi, lo32 = _host_seed_split(start_hi, start_lo, offs)
+                with numpy_backend():
+                    keys, valid = nt.fn(hi, lo32)
+                valid = np.asarray(valid) & (offs_np < int(limit))[:, None]
+                return np.asarray(keys), valid
         else:
             fn = jax.jit(keygen)
         nt._compiled_batch = fn
@@ -364,6 +450,11 @@ class ForwardDriver:
         if fn is None:
             if getattr(spec.numeric, "host_only", False):
                 fn = spec.numeric.fn
+            elif _numpy_keygen_enabled():
+                def fn(hi, lo, _f=spec.numeric.fn):
+                    from ._lazy import numpy_backend
+                    with numpy_backend():
+                        return _f(np.asarray(hi), np.asarray(lo))
             else:
                 fn = jax.jit(spec.numeric.fn)
             spec.numeric._compiled_single = fn
