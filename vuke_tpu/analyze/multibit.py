@@ -64,16 +64,26 @@ class MultibitAnalyzer:
             except OSError as e:
                 return AnalysisResult(self.name, AnalysisStatus.UNKNOWN,
                                       f"Failed to open mnemonic file: {e}")
-            for line_no, line in enumerate(lines, 1):
-                m = line.strip()
-                if not m or m.startswith("#"):
-                    continue
-                idx = self._check_mnemonic(key, m)
-                if idx is not None:
-                    return AnalysisResult(
-                        self.name, AnalysisStatus.CONFIRMED,
-                        f'mnemonic="{_truncate_mnemonic(m)}", '
-                        f"path=m/0'/0/{idx}, line={line_no}")
+            from ..wallets.multibit import multibit_hd_keys_batch
+            candidates = [(no, line.strip()) for no, line in enumerate(lines, 1)
+                          if line.strip() and not line.strip().startswith("#")]
+            line_of = {m: no for no, m in candidates}
+            # chunked batches: the two PBKDF2 stretches run on device when
+            # an accelerator is up (wallets/pbkdf2_device.py), host hashlib
+            # otherwise — either way the check semantics are unchanged
+            CHUNK = 4096
+            for ofs in range(0, len(candidates), CHUNK):
+                chunk = [m for _, m in candidates[ofs:ofs + CHUNK]]
+                for m, keys in multibit_hd_keys_batch(
+                        chunk, self.passphrase, self.derivation_depth):
+                    for i, k in enumerate(keys):
+                        if k == key:
+                            return AnalysisResult(
+                                self.name, AnalysisStatus.CONFIRMED,
+                                f'mnemonic="{_truncate_mnemonic(m)}", '
+                                f"path=m/0'/0/{i}, line={line_of[m]}")
+                if progress is not None:
+                    progress.advance(len(chunk))
             return AnalysisResult(
                 self.name, AnalysisStatus.NOT_FOUND,
                 f"no mnemonic in file produces this key "

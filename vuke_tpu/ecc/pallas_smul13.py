@@ -88,6 +88,19 @@ def _table13_i8(wbits: int = 8, signed: bool = False) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=4)
+def _table13_bf16(wbits: int = 8, signed=False) -> np.ndarray:
+    """(n_windows, tsize, 80) bfloat16 two-plane window table: same lo7/hi6
+    split as _table13_i8 but in the MXU's native dtype — plane values
+    <= 127 are exact in bf16's 8-bit mantissa, and each output accumulates
+    a single nonzero product, so the f32-accumulated dot is exact."""
+    import ml_dtypes
+    t = _table13_f32(wbits, signed).astype(np.int32)
+    lo = (t & 0x7F).astype(ml_dtypes.bfloat16)
+    hi = (t >> 7).astype(ml_dtypes.bfloat16)
+    return np.concatenate([lo, hi], axis=-1)
+
+
+@functools.lru_cache(maxsize=4)
 def _table13_f32(wbits: int = 8, signed=False) -> np.ndarray:
     """(n_windows, tsize, 40) float32 fixed-base window table:
     entry [w, d] = affine (x limbs 0..19, y limbs 20..39, 13-bit) of
@@ -486,11 +499,17 @@ def _rows13_to16(rows13):
 
 def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
                    *, signed: bool = False, out13: bool = False,
-                   prefetch: bool = True):
-    """digits_ref: (n_windows, 1, 8, 128) u32; table (n_windows, tsize, 40)
-    f32 or (n_windows, tsize, 80) int8 planes; outputs: (16, 1, 8, 128)
+                   prefetch: bool = True, ipt: int = 1):
+    """digits_ref: (n_windows, ipt, 8, 128) u32; table (n_windows, tsize, 40)
+    f32 or (n_windows, tsize, 80) int8 planes; outputs: (16, ipt, 8, 128)
     u32 X, Y, ZZ (=Z^2), ZZZ (=Z^3) — 16-bit rows, bit-compatible with the
     16-bit kernel's outputs.
+
+    ``ipt`` (items per grid step): process ``ipt`` tiles per kernel
+    invocation — every field op becomes an (ipt, 8, 128) batch, giving the
+    scheduler ipt-way ILP across the madd dependency chain (the same trick
+    the MT19937 kernel uses for its serial init chain).  ipt == 1 keeps
+    the original (8, 128) row shapes bit-for-bit (warm-cache stability).
 
     ``signed``: digits are encoded |d| | (sign << 15); a negative digit
     adds -|d|*2^(wbits*w)*G by negating the looked-up y (4p - y, a valid
@@ -510,7 +529,13 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
 
     n_windows = digits_ref.shape[0]
     tsize = table_ref.shape[1]
-    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (tsize, 128), 0)
+    lanes = 128 if ipt == 1 else ipt * 128
+    # measured-rejected variants (docs/KERNELS.md): int16 one-hot compares
+    # (Mosaic: "16-bit iota not supported by hardware", and the i32->i16
+    # narrowing variant also fails to lower) and full window unrolling
+    # (11.11ms vs 10.79 fori at ipt=2, with a 141s Mosaic compile).
+    unroll_windows = False
+    iota2 = jax.lax.broadcasted_iota(jnp.uint32, (tsize, lanes), 0)
 
     def rows(arr):
         return [arr[i] for i in range(L13)]
@@ -520,42 +545,72 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
 
     def lookup(w):
         """Window w's table entries as (x2 rows, y2 rows), sign applied."""
-        d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
+        if ipt == 1:
+            d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
+        else:
+            d = digits_ref[pl.ds(w, 1)].reshape(ipt, 8, 128)
         if signed:
             sign = (d >> np.uint32(15)) != 0
             idx = d & np.uint32(0x7FFF)
         else:
             idx = d
         int8_planes = table_ref.dtype == jnp.int8
+        bf16_planes = table_ref.dtype == jnp.bfloat16
         tab_w = table_ref[pl.ds(w, 1), :, :].reshape(tsize, table_ref.shape[2])
+        # a single 4D dot per window (one-hot with the whole (ipt, 8, 128)
+        # row shape as non-contracting dims) measured 18.7ms vs 10.65 —
+        # Mosaic lowers the multi-dim-N contraction off the MXU fast path;
+        # the 8 per-sublane (tsize, ipt*128) dots below stay.
         entry_groups = []
         for a in range(8):
-            d_a = idx[a:a + 1, :]
+            if ipt == 1:
+                d_a = idx[a:a + 1, :]
+            else:
+                d_a = idx[:, a, :].reshape(1, ipt * 128)
             if int8_planes:
                 onehot = (d_a == iota2).astype(jnp.int8)
                 e = jax.lax.dot_general(
                     tab_w, onehot,
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)    # (80, 128)
+                    preferred_element_type=jnp.int32)    # (80, lanes)
                 e = e[:2 * L13] + (e[2 * L13:] << 7)     # lo + (hi << 7)
-                entry_groups.append(e.astype(jnp.uint32))
+                e = e.astype(jnp.uint32)
+            elif bf16_planes:
+                onehot = (d_a == iota2).astype(jnp.bfloat16)
+                e = jax.lax.dot_general(
+                    tab_w, onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (80, lanes), exact
+                e = e.astype(jnp.int32)
+                e = e[:2 * L13] + (e[2 * L13:] << 7)
+                e = e.astype(jnp.uint32)
             else:
                 onehot = (d_a == iota2).astype(jnp.float32)
                 e = jax.lax.dot_general(
                     tab_w, onehot,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # (40, 128)
-                entry_groups.append(e.astype(jnp.int32).astype(jnp.uint32))
-        x2 = [jnp.concatenate([entry_groups[a][i:i + 1, :] for a in range(8)],
-                              axis=0) for i in range(L13)]
-        y2 = [jnp.concatenate([entry_groups[a][L13 + i:L13 + i + 1, :]
-                               for a in range(8)], axis=0) for i in range(L13)]
+                    preferred_element_type=jnp.float32)      # (40, lanes)
+                e = e.astype(jnp.int32).astype(jnp.uint32)
+            if ipt > 1:
+                e = e.reshape(e.shape[0], ipt, 128)
+            entry_groups.append(e)
+        if ipt == 1:
+            x2 = [jnp.concatenate([entry_groups[a][i:i + 1, :] for a in range(8)],
+                                  axis=0) for i in range(L13)]
+            y2 = [jnp.concatenate([entry_groups[a][L13 + i:L13 + i + 1, :]
+                                   for a in range(8)], axis=0) for i in range(L13)]
+        else:
+            x2 = [jnp.stack([entry_groups[a][i] for a in range(8)], axis=1)
+                  for i in range(L13)]
+            y2 = [jnp.stack([entry_groups[a][L13 + i] for a in range(8)], axis=1)
+                  for i in range(L13)]
         if signed:
             y2 = _select13(sign, _neg13(y2), y2)
         return x2, y2
 
     zero_free = signed == "odd"
+    _row_shape = (8, 128) if ipt == 1 else (ipt, 8, 128)
 
     def body(w, carry):
         if prefetch:
@@ -583,8 +638,11 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
                 out = out + (stack(nx2), stack(ny2))
             return out
 
-        d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
-        one_rows = [jnp.full((8, 128), np.uint32(1) if i == 0 else np.uint32(0),
+        if ipt == 1:
+            d = digits_ref[pl.ds(w, 1), 0].reshape(8, 128)
+        else:
+            d = digits_ref[pl.ds(w, 1)].reshape(ipt, 8, 128)
+        one_rows = [jnp.full(_row_shape, np.uint32(1) if i == 0 else np.uint32(0),
                              dtype=jnp.uint32) for i in range(L13)]
         inf_b = acc_inf != 0
         nX = _select13(inf_b, x2, X3)
@@ -606,34 +664,44 @@ def _smul13_kernel(digits_ref, table_ref, x_ref, y_ref, zz_ref, zzz_ref,
         # window 0 is always a valid point: seed the accumulator from its
         # lookup ((ZZ, ZZZ) = 1) and run windows 1.. as unconditional adds
         x20, y20 = lookup(0)
-        one_rows = [jnp.full((8, 128), np.uint32(1) if i == 0 else np.uint32(0),
+        one_rows = [jnp.full(_row_shape, np.uint32(1) if i == 0 else np.uint32(0),
                              dtype=jnp.uint32) for i in range(L13)]
         init = (stack(x20), stack(y20), stack(one_rows), stack(one_rows))
         if prefetch:
             x21, y21 = lookup(1)
             init = init + (stack(x21), stack(y21))
-        res = jax.lax.fori_loop(1, n_windows, body, init)
+        if unroll_windows:
+            res = init
+            for w in range(1, n_windows):
+                res = body(w, res)
+        else:
+            res = jax.lax.fori_loop(1, n_windows, body, init)
     else:
-        z = jnp.zeros((L13, 8, 128), jnp.uint32)
-        init = (z, z, z, z, jnp.ones((8, 128), jnp.uint32))
+        z = jnp.zeros((L13,) + _row_shape, jnp.uint32)
+        init = (z, z, z, z, jnp.ones(_row_shape, jnp.uint32))
         if prefetch:
             x20, y20 = lookup(0)
             init = init + (stack(x20), stack(y20))
-        res = jax.lax.fori_loop(0, n_windows, body, init)
+        if unroll_windows:
+            res = init
+            for w in range(n_windows):
+                res = body(w, res)
+        else:
+            res = jax.lax.fori_loop(0, n_windows, body, init)
     X_a, Y_a, ZZ_a, ZZZ_a = res[0], res[1], res[2], res[3]
     if out13:
         # raw 13-bit rows (value < 2^258 for Y after a signed top-window
         # inf-replacement, else normalized) — the inversion/affine stage
         # continues in 13-bit limbs and converts at the very end
-        x_ref[:, 0] = X_a
-        y_ref[:, 0] = Y_a
-        zz_ref[:, 0] = ZZ_a
-        zzz_ref[:, 0] = ZZZ_a
+        outs = (X_a, Y_a, ZZ_a, ZZZ_a)
     else:
-        x_ref[:, 0] = jnp.stack(_rows13_to16(rows(X_a)), axis=0)
-        y_ref[:, 0] = jnp.stack(_rows13_to16(rows(Y_a)), axis=0)
-        zz_ref[:, 0] = jnp.stack(_rows13_to16(rows(ZZ_a)), axis=0)
-        zzz_ref[:, 0] = jnp.stack(_rows13_to16(rows(ZZZ_a)), axis=0)
+        outs = tuple(jnp.stack(_rows13_to16(rows(a)), axis=0)
+                     for a in (X_a, Y_a, ZZ_a, ZZZ_a))
+    for ref_, a in zip((x_ref, y_ref, zz_ref, zzz_ref), outs):
+        if ipt == 1:
+            ref_[:, 0] = a
+        else:
+            ref_[:, :] = a
 
 
 def _prefetch_default() -> bool:
@@ -643,33 +711,58 @@ def _prefetch_default() -> bool:
     return os.environ.get("VUKE_TPU_PREFETCH", "0") not in ("0", "false", "no")
 
 
+def _ipt_default() -> int:
+    """Tiles per grid step (ILP across the madd chain).  Measured on v5e
+    at 2^17 (2026-08-20): ipt=1 11.19ms, ipt=2 10.65-10.88ms (+4.5%),
+    ipt=4 11.44ms (VMEM pressure wins out) — see docs/KERNELS.md.
+    VUKE_TPU_IPT overrides; odd nb falls back to 1 automatically.
+    CPU (interpret-mode) backends stay at 1: ipt only helps the Mosaic
+    scheduler, and the bigger fused body slows the already-slow XLA:CPU
+    compiles of the test tier for nothing."""
+    import os
+    v = os.environ.get("VUKE_TPU_IPT")
+    if v is not None:
+        return int(v)
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return 1
+    except Exception:
+        pass
+    return 2
+
+
 @functools.lru_cache(maxsize=8)
 def _smul13_call(n: int, tile: int, wbits: int = 8, interpret: bool = False,
                  lookup: str = "i8", signed=False,
-                 out13: bool = False, prefetch: bool | None = None):
+                 out13: bool = False, prefetch: bool | None = None,
+                 ipt: int | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if prefetch is None:
         prefetch = _prefetch_default()
+    if ipt is None:
+        ipt = _ipt_default()
     windows = _n_windows(wbits)
     tsize = _tsize(wbits, signed)
-    tab_cols = 4 * L13 if lookup == "i8" else 2 * L13
+    tab_cols = 2 * L13 if lookup == "f32" else 4 * L13
     out_rows = L13 if out13 else 16
     nb = n // tile
-    grid = (nb,)
+    while ipt > 1 and nb % ipt:
+        ipt //= 2
+    grid = (nb // ipt,)
     return pl.pallas_call(
         functools.partial(_smul13_kernel, signed=signed, out13=out13,
-                          prefetch=prefetch),
+                          prefetch=prefetch, ipt=ipt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((windows, 1, 8, 128), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((windows, ipt, 8, 128), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((windows, tsize, tab_cols), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((out_rows, 1, 8, 128), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((out_rows, ipt, 8, 128), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
@@ -695,8 +788,9 @@ def scalar_mul_zz_pallas13(digits, tile: int = 1024, wbits: int = 8,
     assert digits.shape[1] == windows, (digits.shape, wbits)
     nb = n // tile
     digits_t = digits.T.reshape(windows, nb, 8, 128)
-    table = jnp.asarray(_table13_i8(wbits, signed) if lookup == "i8"
-                        else _table13_f32(wbits, signed))
+    table = jnp.asarray(
+        {"i8": _table13_i8, "bf16": _table13_bf16,
+         "f32": _table13_f32}[lookup](wbits, signed))
     X, Y, ZZ, ZZZ = _smul13_call(n, tile, wbits, interpret, lookup, signed)(
         digits_t, table)
 
