@@ -31,11 +31,31 @@ from vuke_tpu.cores import lcg as lcg_core, xorshift as xs_core
 from vuke_tpu.cores.mt19937 import milksad_key_words, mt19937_64_outputs
 
 
+def _force(r):
+    # axon: block_until_ready is a no-op — fetching the 1-byte scalar is
+    # the only reliable completion barrier (docs/KERNELS.md discipline)
+    return bool(np.asarray(r["found"]))
+
+
+def measure_family(name, make_prog, batch, target_words=None,
+                   measure_s=6.0, tries=3):
+    """measure() with halve-batch-and-retry on device OOM (the mt64
+    cascade's 312-word state scan at 2^24 lanes exceeds HBM temp space)."""
+    for _ in range(tries):
+        try:
+            return measure(name, make_prog(batch), target_words,
+                           measure_s=measure_s)
+        except Exception as e:
+            print(f"# {name}: batch {batch} failed ({type(e).__name__}); "
+                  f"halving", file=sys.stderr, flush=True)
+            batch //= 2
+    return measure(name, make_prog(batch), target_words, measure_s=measure_s)
+
+
 def measure(name, prog, target_words=None, min_batches=3, measure_s=6.0):
     """Warm (compile) + steady-state rate of prog.run_batch."""
     t0 = time.time()
-    r = prog.run_batch(0, prog.batch, target_words)
-    jax.block_until_ready(r["found"])
+    _force(prog.run_batch(0, prog.batch, target_words))
     compile_s = time.time() - t0
     # steady state: pipelined batches, stop on wall clock
     t0 = time.time()
@@ -46,12 +66,10 @@ def measure(name, prog, target_words=None, min_batches=3, measure_s=6.0):
         pending.append(prog.run_batch(pos, prog.batch, target_words))
         pos += prog.batch
         if len(pending) > 2:
-            jax.block_until_ready(pending.pop(0)["found"])
+            _force(pending.pop(0))
             n += 1
-        if n >= min_batches and time.time() - t0 >= measure_s:
-            break
     for p in pending:
-        jax.block_until_ready(p["found"])
+        _force(p)
         n += 1
     dt = time.time() - t0
     rate = n * prog.batch / dt
@@ -69,7 +87,13 @@ def main():
     print(f"# device: {dev.device_kind} ({dev.platform})", file=sys.stderr,
           flush=True)
     results = []
-    B = 1 << 20
+    # 2^26 reaches the VPU compute bound for 1-key streams (the 2^20
+    # default was dispatch-latency-bound at ~36M/s: ~30ms per host
+    # round-trip through the axon tunnel regardless of batch);
+    # cascade/chain families carry n_keys/depth x the memory, so they
+    # run at 2^24 / 2^20.
+    B = 1 << 26
+    BC = 1 << 24
 
     # milksad exact (the r4 marquee — sanity anchor for this table)
     prog = sweeps.SweepProgram(lambda hi, lo, n: milksad_key_words(lo, n_keys=n),
@@ -91,20 +115,23 @@ def main():
     cascade = [(32, (1 << 31) | 0x1234), (32, (1 << 31) | 0x5678)]
     for vname in xs_core.VARIANT_NAMES:
         prog = sweeps.SweepProgram(xs_core.KEYSTREAM_FNS[vname], "cascade",
-                                   cascade=cascade, batch=B)
+                                   cascade=cascade, batch=BC)
         results.append(measure(f"xorshift:{vname}:cascade", prog,
                                measure_s=measure_s))
 
-    # mt64 cascade (README.md:493 quotes ~850K seeds/s on CPU)
+    # mt64 cascade (README.md:493 quotes ~850K seeds/s on CPU); the
+    # MT19937-64 state scan carries ~312 words/lane, so it starts smaller
     from vuke_tpu.analyze.analyzers import Mt64Analyzer
-    prog = sweeps.SweepProgram(Mt64Analyzer._keystream, "cascade",
-                               cascade=cascade, batch=B)
-    results.append(measure("mt64:cascade", prog, measure_s=measure_s))
+    results.append(measure_family(
+        "mt64:cascade",
+        lambda b: sweeps.SweepProgram(Mt64Analyzer._keystream, "cascade",
+                                      cascade=cascade, batch=b),
+        1 << 22, measure_s=measure_s))
 
     # sha256_chain iterated + indexed, depth 10 (GPU-accelerated in the
     # reference, analyze/sha256_chain.rs:491+)
     for variant in ("iterated", "indexed:be"):
-        prog = sweeps.ChainSweepProgram(variant, 10, "exact", batch=1 << 18)
+        prog = sweeps.ChainSweepProgram(variant, 10, "exact", batch=1 << 20)
         results.append(measure(f"sha256_chain:{variant}:d10", prog,
                                jnp.zeros(8, dtype=jnp.uint32),
                                measure_s=measure_s))

@@ -73,9 +73,17 @@ def run_analyze(key_str: str, fast: bool = False, mask: Optional[int] = None,
                 mnemonic=None, mnemonic_file=None, passphrase: str = "",
                 chain_depth: int = 10, puzzle: Optional[str] = None,
                 verify: Optional[str] = None, as_json: bool = False,
-                batch: int = 1 << 20, max_seeds: Optional[int] = None,
+                batch: Optional[int] = None, max_seeds: Optional[int] = None,
                 checkpoint: Optional[str] = None, out=None):
     out = out if out is not None else sys.stdout
+    if batch is None:
+        # accelerator sweeps are dispatch-latency-bound below ~2^24
+        # (~30 ms per host round-trip regardless of batch: 2^20 measured
+        # 36M seeds/s, 2^26 measured 2.03G — the compute bound); cascade
+        # streams carry n_keys x the memory, so the default stops at 2^24
+        # (.bench_logs/sweep_rates.json, docs/SCALING.md)
+        from ..ecc.pubkey import use_pallas_default
+        batch = (1 << 24) if use_pallas_default() else (1 << 20)
     config = AnalysisConfig(mask_bits=mask, batch=batch, max_seeds=max_seeds,
                             checkpoint_path=checkpoint)
 

@@ -553,7 +553,9 @@ def bench(transform_s, as_json, batch, seconds):
 @click.option("--puzzle", default=None)
 @click.option("--verify", "verify_p", default=None)
 @click.option("--json", "as_json", is_flag=True)
-@click.option("--batch", default=1 << 20, type=int)
+@click.option("--batch", default=None, type=int,
+              help="Sweep superbatch (default: 2^24 on accelerators — "
+                   "dispatch-latency-bound below that — else 2^20)")
 @click.option("--max-seeds", default=None, type=int,
               help="Bound open-ended sweeps (TPU addition; default unbounded)")
 @click.option("--checkpoint", "checkpoint_path", type=click.Path(), default=None,

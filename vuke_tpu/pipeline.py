@@ -29,7 +29,27 @@ from .matcher import DeviceTargetSet, Matcher
 from .transforms.registry import TransformSpec
 
 DEFAULT_BATCH = 1 << 16
-MAX_HITS_PER_BATCH = 256
+MAX_HITS_PER_BATCH = 256  # legacy constant (native path hit_idx buffer)
+
+
+def _pack_mask(m):
+    """(N,) bool -> (N/32,) uint32, bit j of word w = lane 32w+j.
+
+    ``jnp.nonzero``'s scatter-based compaction measured ~30 ms per 2^19
+    batch on the v5e (gather/scatter runs on the scalar unit); packing is
+    pure VPU work and the host unpacks only on the rare hit batch."""
+    n = m.shape[0]
+    assert n % 32 == 0
+    bits = m.reshape(n // 32, 32).astype(jnp.uint32)
+    shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
+    return (bits << shifts[None, :]).sum(axis=1, dtype=jnp.uint32)
+
+
+def _unpack_mask(packed: np.ndarray, n: int) -> np.ndarray:
+    """Host-side inverse of _pack_mask -> (n,) bool."""
+    b = np.asarray(packed, dtype="<u4").tobytes()
+    return np.unpackbits(np.frombuffer(b, dtype=np.uint8),
+                         bitorder="little")[:n].astype(bool)
 
 
 @dataclass
@@ -106,8 +126,7 @@ def _dm_program(match: bool, collect: bool, inv_chunk: int, win_c: int, win_u: i
                 out["mask"] = m
             else:
                 out["count"] = m.sum()
-                out["hit_idx"] = jnp.nonzero(m, size=MAX_HITS_PER_BATCH,
-                                             fill_value=2**31 - 1)[0]
+                out["mask_packed"] = _pack_mask(m)
         if collect:
             out["keys"] = norm
             out["h160c"] = h160c()
@@ -181,10 +200,7 @@ class DeriveMatcher:
             else:
                 idx = np.nonzero(m)[0]
                 out["count"] = np.int64(len(idx))
-                hit = np.full(MAX_HITS_PER_BATCH, 2**31 - 1, dtype=np.int64)
-                k = min(len(idx), MAX_HITS_PER_BATCH)
-                hit[:k] = idx[:k]
-                out["hit_idx"] = hit
+                out["hit_idx"] = idx    # host path: exact, unbounded
         if self.collect_keys:
             out["keys"] = norm
             out["h160c"] = np.frombuffer(h160c_b, dtype="<u4").reshape(n, 5)
@@ -235,8 +251,7 @@ def _seq_program(win_c: int, win_u: int, full_mask: bool = False):
             out["mask"] = m
         else:
             out["count"] = m.sum()
-            out["hit_idx"] = jnp.nonzero(m, size=MAX_HITS_PER_BATCH,
-                                         fill_value=2**31 - 1)[0]
+            out["mask_packed"] = _pack_mask(m)
         return out
 
     return jax.jit(fn)
@@ -420,14 +435,12 @@ class ForwardDriver:
         count = int(result["count"])
         if count == 0:
             return 0
-        if count > MAX_HITS_PER_BATCH and prog is not None:
-            # Overflowed the compacted index buffer: recompute the full match
-            # mask for this batch (rare path) so no hit is dropped.
-            keys, valid = prog._keygen(
-                jnp.uint32(start >> 32), jnp.uint32(start & 0xFFFFFFFF),
-                jnp.uint32(n if n is not None else self.batch), prog._offsets)
-            mask = np.asarray(self.dm.run_mask(keys[:, slot_i, :], valid[:, slot_i]))
-            idx = np.nonzero(mask)[0]
+        if "mask_packed" in result:
+            # device path: unpack the bit-packed match mask (exact for any
+            # hit count — the old jnp.nonzero compaction cost ~30 ms/batch
+            # on the scalar unit and needed an overflow rare path)
+            packed = np.asarray(result["mask_packed"])
+            idx = np.nonzero(_unpack_mask(packed, packed.shape[0] * 32))[0]
         else:
             idx = np.asarray(result["hit_idx"])[:count]
         matches = 0
