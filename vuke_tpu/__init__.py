@@ -8,4 +8,4 @@ Parquet storage, SQL query, cloud sync, and Iceberg registration —
 re-architected as fused device programs over sharded seed lattices.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
