@@ -124,6 +124,41 @@ def compress(state, w16):
     return [u64_add(x, y) for x, y in zip((a, b, c, d, e, f, g, h), state)]
 
 
+def compress_unrolled(state, w16):
+    """Straight-line SHA-512 compression (python-unrolled 80 rounds,
+    static message schedule — no dynamic ring indexing).
+
+    Exists for programs that already carry an outer device loop (the
+    PBKDF2 2048-iteration chain): nesting the rolled 80-round fori
+    inside the outer fori produced a pathological XLA:TPU compile
+    (>9 min, vs seconds for the unrolled body), while on the test tier
+    the rolled form stays preferable (smaller XLA:CPU graphs)."""
+    a, b, c, d, e, f, g, h = state
+    w = list(w16)
+    for t in range(80):
+        if t < 16:
+            wt = w[t]
+        else:
+            wm15, wm2 = w[t - 15], w[t - 2]
+            s0 = u64_xor(u64_xor(_rotr64(wm15, 1), _rotr64(wm15, 8)),
+                         _shr64(wm15, 7))
+            s1 = u64_xor(u64_xor(_rotr64(wm2, 19), _rotr64(wm2, 61)),
+                         _shr64(wm2, 6))
+            wt = u64_add(u64_add(w[t - 16], s0), u64_add(w[t - 7], s1))
+            w.append(wt)
+        S1 = u64_xor(u64_xor(_rotr64(e, 14), _rotr64(e, 18)), _rotr64(e, 41))
+        ch = (((e[0] & f[0]) ^ (~e[0] & g[0])), ((e[1] & f[1]) ^ (~e[1] & g[1])))
+        kt = (np.uint32(_K64[t] >> 32), np.uint32(_K64[t] & 0xFFFFFFFF))
+        t1 = u64_add(u64_add(u64_add(h, S1), u64_add(ch, kt)), wt)
+        S0 = u64_xor(u64_xor(_rotr64(a, 28), _rotr64(a, 34)), _rotr64(a, 39))
+        maj = (((a[0] & b[0]) ^ (a[0] & c[0]) ^ (b[0] & c[0])),
+               ((a[1] & b[1]) ^ (a[1] & c[1]) ^ (b[1] & c[1])))
+        t2 = u64_add(S0, maj)
+        h, g, f, e, d, c, b, a = (g, f, e, u64_add(d, t1), c, b, a,
+                                  u64_add(t1, t2))
+    return [u64_add(x, y) for x, y in zip((a, b, c, d, e, f, g, h), state)]
+
+
 def iv_state(batch_like):
     """IV as (hi, lo) pairs broadcast against ``batch_like`` (an array)."""
     z = batch_like * np.uint32(0)

@@ -79,11 +79,18 @@ def _pbkdf2_program(iterations: int, salt: bytes):
         u = s512.compress(outer, s512.pad_block_for_64b_message(d))
         t = list(u)
 
+        # TPU: python-unrolled compression in the loop body — nesting the
+        # rolled 80-round fori inside this 2047-iteration fori produced a
+        # pathological XLA:TPU compile (>9 min).  CPU keeps the rolled
+        # form (the unrolled body is the slow-compile case THERE).
+        compress = (s512.compress_unrolled
+                    if jax.devices()[0].platform != "cpu" else s512.compress)
+
         def body(_, carry):
             thi, tlo, uhi, ulo = carry
             up = [(uhi[i], ulo[i]) for i in range(8)]
-            d = s512.compress(inner, s512.pad_block_for_64b_message(up))
-            nu = s512.compress(outer, s512.pad_block_for_64b_message(d))
+            d = compress(inner, s512.pad_block_for_64b_message(up))
+            nu = compress(outer, s512.pad_block_for_64b_message(d))
             nthi = jnp.stack([thi[i] ^ nu[i][0] for i in range(8)])
             ntlo = jnp.stack([tlo[i] ^ nu[i][1] for i in range(8)])
             return (nthi, ntlo,
